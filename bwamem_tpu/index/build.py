@@ -1,0 +1,298 @@
+"""Reference index construction.
+
+Builds the same logical index the reference's engine builds via
+``bwa_idx_build`` (invoked from the JNI layer at
+org_broadinstitute_hellbender_utils_bwa_BwaMemIndex.c:59):
+
+  * ``pac``  — 2-bit packed forward reference ([EXT] bntseq.c semantics)
+  * ``ann``/``amb`` metadata — contig names/offsets + ambiguous-base holes
+  * BWT of forward+reverse-complement (length 2*l_pac) with interleaved
+    Occ checkpoints every 128 bases (bwa .bwt layout, validated byte-exact
+    against src/test/resources/ref.fa.bwt)
+  * sampled suffix array, interval 32 (bwa .sa layout)
+
+Layout compatibility matters because (a) the reference's checked-in rotavirus
+index files are our construction oracle and (b) we accept prebuilt bwa index
+files exactly like ``BwaMemIndex.createIndexImageFromIndexFiles``
+(BwaMemIndex.java:195-216).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils.encoding import pack_2bit, revcomp_codes, unpack_2bit
+from ..utils.fasta import Fasta
+from .sais import bwt_from_sa, suffix_array
+
+OCC_INTERVAL = 0x80  # 128 bases per checkpoint block (bwa bwt.h)
+SA_INTERVAL = 32  # bwa default suffix-array sampling
+
+
+@dataclass
+class BntAnn:
+    """One contig's metadata ([EXT] bntann1_t)."""
+
+    offset: int
+    name: str
+    anno: str = ""
+    length: int = 0
+    n_ambs: int = 0
+    gi: int = 0
+    is_alt: int = 0
+
+
+@dataclass
+class BntAmb:
+    """One ambiguous-base hole ([EXT] bntamb1_t)."""
+
+    offset: int
+    length: int
+    amb: str  # the original character
+
+
+@dataclass
+class Bntseq:
+    """Reference metadata ([EXT] bntseq_t): .ann + .amb content."""
+
+    l_pac: int = 0
+    seed: int = 11
+    anns: List[BntAnn] = field(default_factory=list)
+    ambs: List[BntAmb] = field(default_factory=list)
+
+    @property
+    def n_seqs(self) -> int:
+        return len(self.anns)
+
+    def pos_to_rid(self, pos: int) -> int:
+        """Contig id containing forward-strand position pos, or -1."""
+        lo, hi = 0, len(self.anns)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            a = self.anns[mid]
+            if pos < a.offset:
+                hi = mid
+            elif pos >= a.offset + a.length:
+                lo = mid + 1
+            else:
+                return mid
+        return -1
+
+    def intv_to_rid(self, rb: int, re: int) -> int:
+        """rid if [rb, re) sits inside one contig on one strand, else -1.
+
+        Semantics of [EXT] bns_intv2rid as used by mem_chain (anchored via
+        jnibwa.c:214's mem_process_seqs call): coordinates are on the
+        2*l_pac doubled domain.
+        """
+        if (rb < self.l_pac) != (re <= self.l_pac):
+            return -1  # crosses the forward/reverse boundary
+        fb = rb if rb < self.l_pac else (self.l_pac << 1) - 1 - (re - 1)
+        fe = (re - 1) if rb < self.l_pac else (self.l_pac << 1) - 1 - rb
+        rid = self.pos_to_rid(fb)
+        if rid < 0 or rid != self.pos_to_rid(fe):
+            return -1
+        return rid
+
+    def depos(self, pos: int) -> tuple[int, bool]:
+        """Doubled-domain position -> (forward position, is_rev).
+
+        [EXT] bns_depos semantics: reverse positions map to
+        (l_pac<<1) - 1 - pos.
+        """
+        is_rev = pos >= self.l_pac
+        if is_rev:
+            pos = (self.l_pac << 1) - 1 - pos
+        return pos, is_rev
+
+
+@dataclass
+class BwtIndex:
+    """FM-index core ([EXT] bwt_t): packed BWT + Occ checkpoints + sampled SA."""
+
+    primary: int
+    L2: np.ndarray  # int64[5], cumulative symbol counts (L2[0] == 0)
+    seq_len: int  # 2 * l_pac
+    bwt: np.ndarray  # uint32, interleaved ckpt/data (bwa .bwt body layout)
+    sa_intv: int
+    sa: np.ndarray  # int64[n_sa]; sa[0] is -1 (unused)
+
+    @property
+    def n_sa(self) -> int:
+        return (self.seq_len + self.sa_intv) // self.sa_intv
+
+
+@dataclass
+class BwaIndex:
+    bns: Bntseq
+    pac: np.ndarray  # uint8, ceil(l_pac/4) packed forward bases
+    bwt: BwtIndex
+
+    def get_seq(self, beg: int, end: int) -> np.ndarray:
+        """Fetch codes for [beg, end) on the doubled 2*l_pac domain.
+
+        Forward positions read pac directly; reverse positions are the
+        reverse complement mirrored at (l_pac<<1)-1-pos ([EXT] bns_get_seq).
+        Caller must not span the strand boundary.
+        """
+        l_pac = self.bns.l_pac
+        assert 0 <= beg <= end <= 2 * l_pac
+        if beg >= l_pac:  # fully reverse strand
+            fwd_beg = 2 * l_pac - end
+            fwd_end = 2 * l_pac - beg
+            seg = self._fwd_codes(fwd_beg, fwd_end)
+            return revcomp_codes(seg)
+        assert end <= l_pac, "interval spans the strand boundary"
+        return self._fwd_codes(beg, end)
+
+    def _fwd_codes(self, beg: int, end: int) -> np.ndarray:
+        byte_beg = beg >> 2
+        byte_end = (end + 3) >> 2
+        codes = unpack_2bit(self.pac[byte_beg:byte_end], (byte_end << 2) - (byte_beg << 2))
+        return codes[beg - (byte_beg << 2) : end - (byte_beg << 2)]
+
+
+class _Lrand48:
+    """drand48-family LCG, used to match bwa's ambiguous-base replacement.
+
+    bwa seeds srand48(bns->seed) (seed 11, recorded in .ann line 1) and
+    replaces each non-ACGT base with lrand48() & 3.
+    """
+
+    MASK = (1 << 48) - 1
+    A = 0x5DEECE66D
+    C = 0xB
+
+    def __init__(self, seed: int):
+        self.x = ((seed & 0xFFFFFFFF) << 16) | 0x330E
+
+    def next(self) -> int:
+        self.x = (self.A * self.x + self.C) & self.MASK
+        return self.x >> 17  # 31-bit non-negative long
+
+
+def interleave_bwt(bwt_codes: np.ndarray) -> np.ndarray:
+    """Pack stored-BWT codes into bwa's interleaved .bwt body.
+
+    Per 128-base block: 4 x int64 cumulative counts (of stored chars before
+    the block), then 8 x uint32 of 2-bit packed chars (16/word, MSB-first
+    pairs); a final count record follows the last block.
+    """
+    n = len(bwt_codes)
+    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    out = []
+    counts = np.zeros(4, dtype=np.int64)
+    # pack all codes into uint32 words once
+    padded = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint32)
+    padded[:n] = bwt_codes
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    words_all = (padded.reshape(-1, 16) << shifts).astype(np.uint32).sum(
+        axis=1, dtype=np.uint32
+    )
+    for b in range(n_blocks):
+        out.append(counts.view(np.uint32).copy())
+        beg = b * OCC_INTERVAL
+        end = min(beg + OCC_INTERVAL, n)
+        block = bwt_codes[beg:end]
+        counts = counts + np.bincount(block, minlength=4).astype(np.int64)
+        w_beg = b * 8
+        w_end = w_beg + (end - beg + 15) // 16
+        out.append(words_all[w_beg:w_end])
+    out.append(counts.view(np.uint32).copy())
+    return np.concatenate(out)
+
+
+def deinterleave_bwt(data: np.ndarray, seq_len: int) -> np.ndarray:
+    """Inverse of interleave_bwt: recover stored-BWT codes (uint8)."""
+    data = np.asarray(data, dtype=np.uint32)
+    n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    codes = np.empty(seq_len, dtype=np.uint8)
+    pos = 0
+    for b in range(n_blocks):
+        pos += 8  # skip checkpoint counts (4 x int64 = 8 words)
+        beg = b * OCC_INTERVAL
+        end = min(beg + OCC_INTERVAL, seq_len)
+        n_words = (end - beg + 15) // 16
+        words = data[pos : pos + n_words]
+        pos += n_words
+        expand = np.empty(n_words * 16, dtype=np.uint8)
+        for k in range(16):
+            expand[k::16] = (words >> np.uint32(30 - 2 * k)) & 3
+        codes[beg:end] = expand[: end - beg]
+    return codes
+
+
+def build_bns_and_pac(fasta: Fasta, seed: int = 11):
+    """FASTA -> (Bntseq, pac bytes, forward codes with ambiguity replaced)."""
+    bns = Bntseq(seed=seed)
+    rng = _Lrand48(seed)
+    all_codes: List[np.ndarray] = []
+    offset = 0
+    for contig in fasta.contigs:
+        codes = contig.codes.copy()
+        n_ambs = 0
+        # record maximal runs of ambiguous bases, replace with pseudo-random
+        amb = codes >= 4
+        if amb.any():
+            idx = np.nonzero(amb)[0]
+            run_start = None
+            prev = None
+            for i in idx.tolist():
+                if run_start is None:
+                    run_start = i
+                elif i != prev + 1:
+                    bns.ambs.append(
+                        BntAmb(offset + run_start, prev - run_start + 1, "N")
+                    )
+                    n_ambs += 1
+                    run_start = i
+                prev = i
+                codes[i] = rng.next() & 3
+            bns.ambs.append(BntAmb(offset + run_start, prev - run_start + 1, "N"))
+            n_ambs += 1
+        bns.anns.append(
+            BntAnn(
+                offset=offset,
+                name=contig.name,
+                anno=contig.comment,
+                length=len(codes),
+                n_ambs=n_ambs,
+            )
+        )
+        all_codes.append(codes)
+        offset += len(codes)
+    bns.l_pac = offset
+    fwd = np.concatenate(all_codes) if all_codes else np.zeros(0, dtype=np.uint8)
+    pac = pack_2bit(fwd)
+    return bns, pac, fwd
+
+
+def build_bwt(fwd_codes: np.ndarray, sa_intv: int = SA_INTERVAL) -> BwtIndex:
+    """Build the FM-index over forward + reverse-complement."""
+    S = np.concatenate([fwd_codes, revcomp_codes(fwd_codes)]).astype(np.uint8)
+    seq_len = len(S)
+    sa_full = suffix_array(S)  # length seq_len+1, sa_full[0] == seq_len
+    bwt_codes, primary = bwt_from_sa(S, sa_full)
+    counts = np.bincount(S, minlength=4).astype(np.int64)
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(counts[:4])
+    data = interleave_bwt(bwt_codes)
+    n_sa = (seq_len + sa_intv) // sa_intv
+    sa = np.empty(n_sa, dtype=np.int64)
+    sa[:] = sa_full[np.arange(n_sa) * sa_intv]
+    sa[0] = -1  # bwa convention: row 0 (sentinel) is never resolved via sa[0]
+    return BwtIndex(
+        primary=primary, L2=L2, seq_len=seq_len, bwt=data, sa_intv=sa_intv, sa=sa
+    )
+
+
+def build_index(fasta: Fasta, seed: int = 11, sa_intv: int = SA_INTERVAL) -> BwaIndex:
+    bns, pac, fwd = build_bns_and_pac(fasta, seed)
+    if bns.l_pac == 0:
+        from ..api.exceptions import CouldNotCreateIndexException
+
+        raise CouldNotCreateIndexException("reference contains no bases")
+    bwt = build_bwt(fwd, sa_intv)
+    return BwaIndex(bns=bns, pac=pac, bwt=bwt)
