@@ -1,0 +1,167 @@
+"""End-to-end alignment pipeline ([EXT] bwamem.c: mem_align1_core +
+mem_reg2sam + bwamem_extra.c: mem_gen_alt).
+
+Single-end path: seed -> chain -> filter -> extend -> dedup -> primary
+marking -> records.  The paired-end driver (pair.py) builds on align1_regs.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..api.options import (
+    MEM_F_ALL,
+    MEM_F_NO_MULTI,
+    MEM_F_SOFTCLIP,
+    MemOptions,
+)
+from .chain import chain_flt, mem_chain
+from .extend import AlnReg, chain2aln
+from .fmindex import FMIndex
+from .finalize import Aln, approx_mapq_se, mark_primary_se, reg2aln, sort_dedup_patch
+from .seed import collect_intv
+
+
+class Engine:
+    """One opened index + its FM query structures (host oracle engine)."""
+
+    def __init__(self, idx):
+        self.idx = idx
+        self.fm = FMIndex(idx)
+
+
+def align1_regs(opt: MemOptions, eng: Engine, query: np.ndarray) -> List[AlnReg]:
+    """[EXT] mem_align1_core: read codes -> deduped alignment regions."""
+    qlen = len(query)
+    intervals = collect_intv(opt, eng.fm, query)
+    chains = mem_chain(opt, eng.fm, eng.idx.bns, qlen, intervals)
+    chains = chain_flt(opt, chains)
+    # NOTE [EXT] mem_flt_chained_seeds is a no-op for reads shorter than
+    # ~700bp (min_l > MEM_SEEDSW_COEF * l_query guard); long-read support
+    # will add it.
+    regs: List[AlnReg] = []
+    for c in chains:
+        chain2aln(opt, eng.idx, qlen, query, c, regs)
+    regs = sort_dedup_patch(opt, eng.idx, query, regs)
+    return regs
+
+
+def gen_alt_xa(
+    opt: MemOptions, eng: Engine, regs: List[AlnReg], qlen: int, query: np.ndarray
+) -> List[Optional[str]]:
+    """[EXT] mem_gen_alt: XA alternative-hit strings, indexed by primary reg.
+
+    Returns a list parallel to regs; XA[k] is the alt-hit string for the
+    primary region at index k (None when there are no alternates or the
+    count exceeds max_XA_hits).
+    """
+    n = len(regs)
+    xa: List[Optional[str]] = [None] * n
+
+    def pri_idx(i: int) -> int:
+        k = regs[i].secondary_all
+        if k >= 0 and regs[i].score >= regs[k].score * opt.xa_drop_ratio:
+            return k
+        return -1
+
+    cnt = [0] * n
+    has_alt = [False] * n
+    tot = 0
+    for i in range(n):
+        r = pri_idx(i)
+        if r >= 0:
+            cnt[r] += 1
+            tot += 1
+            if regs[i].is_alt:
+                has_alt[r] = True
+    if tot == 0:
+        return xa
+    parts: List[List[str]] = [[] for _ in range(n)]
+    for i in range(n):
+        r = pri_idx(i)
+        if r < 0:
+            continue
+        if cnt[r] > opt.max_xa_hits_alt or (not has_alt[r] and cnt[r] > opt.max_xa_hits):
+            continue
+        t = reg2aln(opt, eng.idx, qlen, query, regs[i])
+        cig = "".join(f"{ln}{'MIDSH'[op]}" for op, ln in t.cigar)
+        parts[r].append(
+            f"{eng.idx.bns.anns[t.rid].name},{'+-'[t.is_rev]}{t.pos + 1},{cig},{t.NM};"
+        )
+    for k in range(n):
+        if parts[k]:
+            xa[k] = "".join(parts[k])
+    return xa
+
+
+def reg2sam_records(
+    opt: MemOptions,
+    eng: Engine,
+    query: np.ndarray,
+    regs: List[AlnReg],
+    extra_flag: int = 0,
+    mate: Optional[Aln] = None,
+) -> List[Aln]:
+    """[EXT] mem_reg2sam: regions -> final per-read record list.
+
+    mark_primary_se must already have run on regs.  Flag assembly mirrors
+    mem_aln2sam's bit fixes, and the internal 0x10000 'secondary-style
+    supplementary' bit maps to SAM 0x100 exactly as fmt_BAMish does
+    (jnibwa.c:50-51).
+    """
+    qlen = len(query)
+    xa = (
+        gen_alt_xa(opt, eng, regs, qlen, query)
+        if not (opt.flag & MEM_F_ALL)
+        else [None] * len(regs)
+    )
+    out: List[Aln] = []
+    for k, p in enumerate(regs):
+        if p.score < opt.T:
+            continue
+        if p.secondary >= 0 and (p.is_alt or not (opt.flag & MEM_F_ALL)):
+            continue
+        if (
+            p.secondary >= 0
+            and p.secondary < (1 << 30)
+            and p.score < regs[p.secondary].score * opt.drop_ratio
+        ):
+            continue
+        q = reg2aln(opt, eng.idx, qlen, query, p)
+        q.XA = xa[k]
+        q.flag |= extra_flag
+        if p.secondary >= 0:
+            q.sub = -1  # don't output subopt score for secondaries
+        if out and p.secondary < 0:  # supplementary
+            q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
+        if out and not p.is_alt and q.mapq > out[0].mapq:
+            q.mapq = out[0].mapq
+        out.append(q)
+    if not out:
+        t = reg2aln(opt, eng.idx, qlen, query, None)
+        t.flag |= extra_flag
+        out.append(t)
+    # mem_aln2sam flag fixes for each record
+    for q in out:
+        _fix_flags(q, mate)
+    return out
+
+
+def _fix_flags(p: Aln, m: Optional[Aln]) -> None:
+    """Flag assembly from mem_aln2sam ([EXT] bwamem.c)."""
+    p.flag |= 0x1 if m is not None else 0
+    p.flag |= 0x4 if p.rid < 0 else 0
+    p.flag |= 0x8 if (m is not None and m.rid < 0) else 0
+    if p.rid < 0 and m is not None and m.rid >= 0:  # copy mate pos to unmapped
+        p.rid, p.pos, p.is_rev = m.rid, m.pos, m.is_rev
+        p.cigar = []
+    p.flag |= 0x10 if p.is_rev else 0
+    p.flag |= 0x20 if (m is not None and m.is_rev) else 0
+
+
+def align_se(opt: MemOptions, eng: Engine, query: np.ndarray, read_id: int = 0) -> List[Aln]:
+    """Full single-end alignment of one read (codes in {0..4})."""
+    regs = align1_regs(opt, eng, query)
+    mark_primary_se(opt, regs, read_id)
+    return reg2sam_records(opt, eng, query, regs)
