@@ -69,7 +69,7 @@ def smem1a(
         return x + 1, []
     mems: List[SmemIntv] = []
     x0, x1, s = fm.set_intv(np.array([int(q[x])]))
-    ik = [int(x0), int(x1), int(s), x + 1]  # x0, x1, s, info=end
+    ik = [int(x0[0]), int(x1[0]), int(s[0]), x + 1]  # x0, x1, s, info=end
     curr: List[list] = []
     # --- forward extension, collecting intervals where the size changes ---
     i = x + 1
@@ -127,7 +127,7 @@ def seed_strategy1(
     if q[x] > 3:
         return x + 1, None
     x0, x1, s = fm.set_intv(np.array([int(q[x])]))
-    ik = [int(x0), int(x1), int(s)]
+    ik = [int(x0[0]), int(x1[0]), int(s[0])]
     i = x + 1
     while i < length:
         if q[i] < 4:
