@@ -1,0 +1,232 @@
+"""Batched banded SW extension on TPU (jnp/XLA formulation).
+
+TPU-native replacement for the reference's hot kernel #2, [EXT] ksw_extend2
+(SSE2 striped SW; SURVEY.md section 3.3).  Instead of translating the SIMD
+striping, the DP is reshaped for the VPU:
+
+  * a batch of B independent extension jobs is vectorized elementwise —
+    [B, Q] row-states live in vector registers/VMEM,
+  * rows advance with lax.scan (target position i is the sequential axis),
+  * the horizontal-gap recurrence F is closed-form: because ksw opens gaps
+    from the match score M only, F(j) = max_{k<j} (max(M(k)-oe,0) + k*e)
+    - (j-1)*e — a cummax, not a sequential loop.
+
+Bit-exactness notes (validated against the host oracle engine/extend.py):
+the adaptive [beg, end) window is loop-carried per job exactly as in ksw —
+it is NOT merely an optimization: `end` gates when gscore (to-query-end
+score) updates fire, and cells outside the window retain their stale values
+which later rows may re-read when the window regrows.  We therefore carry
+the eh[] array in bwa's own indexing (eh[j].h = H(i, j-1), eh[j].e =
+E(i+1, j)) and update only the window, including the eh[end] boundary
+writes and both shrink scans.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.jit,
+    static_argnames=("o_del", "e_del", "o_ins", "e_ins", "zdrop", "max_sc"),
+)
+def ksw_extend_batch(
+    qseq,  # [B, Q] int32 codes (0..4), padded past qlen
+    tseq,  # [B, T] int32 codes
+    qlen,  # [B] int32
+    tlen,  # [B] int32
+    h0,  # [B] int32 initial score
+    w,  # [B] int32 band width
+    end_bonus,  # [B] int32
+    mat,  # [5, 5] int32 scoring matrix
+    o_del: int,
+    e_del: int,
+    o_ins: int,
+    e_ins: int,
+    zdrop: int,
+    max_sc: int,  # max entry of mat (static)
+):
+    """Returns dict of [B] int32 arrays: score, qle, tle, gtle, gscore, max_off."""
+    B, Q = qseq.shape
+    T = tseq.shape[1]
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    cc = jnp.arange(Q, dtype=jnp.int32)[None, :]  # query columns [1, Q]
+    jj = jnp.arange(Q + 1, dtype=jnp.int32)[None, :]  # eh indices [1, Q+1]
+
+    # per-job band adjustment (ksw_extend2 preamble)
+    max_ins = ((qlen * max_sc + end_bonus - o_ins) // e_ins + 1).astype(jnp.int32)
+    w_adj = jnp.minimum(w, jnp.maximum(max_ins, 1))
+    max_del = ((qlen * max_sc + end_bonus - o_del) // e_del + 1).astype(jnp.int32)
+    w_adj = jnp.minimum(w_adj, jnp.maximum(max_del, 1))
+
+    # query profile [B, 5, Q]
+    qprof = jnp.transpose(mat[:, qseq], (1, 0, 2))
+
+    # eh[] init: eh[0].h = h0; eh[j].h = max(h0 - oe_ins - (j-1)e, 0), j>=1
+    eh_h = jnp.maximum(h0[:, None] - oe_ins - (jj - 1) * e_ins, 0)
+    eh_h = eh_h.at[:, 0].set(h0)
+    eh_h = jnp.where(jj <= qlen[:, None], eh_h, 0)
+    eh_e = jnp.zeros((B, Q + 1), dtype=jnp.int32)
+
+    init = dict(
+        eh_h=eh_h.astype(jnp.int32),
+        eh_e=eh_e,
+        beg=jnp.zeros(B, jnp.int32),
+        end=qlen.astype(jnp.int32),
+        done=jnp.zeros(B, dtype=bool),
+        maxv=h0.astype(jnp.int32),
+        max_i=jnp.full(B, -1, jnp.int32),
+        max_j=jnp.full(B, -1, jnp.int32),
+        max_ie=jnp.full(B, -1, jnp.int32),
+        gscore=jnp.full(B, -1, jnp.int32),
+        max_off=jnp.zeros(B, jnp.int32),
+    )
+
+    def row_step(state, i):
+        eh_h, eh_e = state["eh_h"], state["eh_e"]
+        # window update (persistent, then clamped by the band)
+        beg = jnp.maximum(state["beg"], i - w_adj)
+        end = jnp.minimum(jnp.minimum(state["end"], i + w_adj + 1), qlen)
+        in_win = (cc >= beg[:, None]) & (cc < end[:, None])  # columns [B, Q]
+        h1 = jnp.where(
+            beg == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0
+        ).astype(jnp.int32)
+        tc = jnp.take(tseq, jnp.minimum(i, T - 1), axis=1)  # [B]
+        onehot = jax.nn.one_hot(tc, 5, dtype=jnp.int32)
+        q = jnp.einsum("bc,bcq->bq", onehot, qprof)  # [B, Q]
+        # columns c in [beg, end): H(i,c) from eh[c] = {H(i-1,c-1), E(i,c)}
+        Hdiag = eh_h[:, :Q]
+        M = jnp.where(Hdiag != 0, Hdiag + q, 0)
+        M = jnp.where(in_win, M, 0)
+        E = jnp.where(in_win, eh_e[:, :Q], 0)
+        Mc = jnp.maximum(M - oe_ins, 0)
+        P = jax.lax.cummax(Mc + cc * e_ins, axis=1)
+        F = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), P[:, :-1] - (cc[:, 1:] - 1) * e_ins],
+            axis=1,
+        )
+        # f restarts at 0 at the window's left edge: contributions from
+        # masked columns are Mc=0 chains, which floor to <=0 and are clamped
+        F = jnp.maximum(F, 0)
+        F = jnp.where(in_win, F, 0)
+        Hrow = jnp.maximum(jnp.maximum(M, E), F)
+        Hrow = jnp.where(in_win, Hrow, 0)
+        E_next = jnp.maximum(E - e_del, jnp.maximum(M - oe_del, 0))
+        E_next = jnp.where(in_win, E_next, 0)
+        # row max over the window; mj = last attaining column (bwa's >=)
+        mrow = jnp.max(Hrow, axis=1)
+        mj = (Q - 1) - jnp.argmax(Hrow[:, ::-1], axis=1).astype(jnp.int32)
+        # write back eh[]: eh[j].h = H(i, j-1) for j in (beg, end];
+        # eh[beg].h = h1 boundary; eh[j].e = E(i+1, j) in [beg, end); eh[end].e = 0
+        H_shift = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), Hrow], axis=1)
+        write_h = (jj > beg[:, None]) & (jj <= end[:, None])
+        eh_h2 = jnp.where(write_h, H_shift, eh_h)
+        eh_h2 = jnp.where(jj == beg[:, None], h1[:, None], eh_h2)
+        E_pad = jnp.concatenate([E_next, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        write_e = (jj >= beg[:, None]) & (jj < end[:, None])
+        eh_e2 = jnp.where(write_e, E_pad, eh_e)
+        eh_e2 = jnp.where(jj == end[:, None], 0, eh_e2)
+        # gscore (to-query-end), fires only when the window reaches qlen
+        reaches = end == qlen
+        h_last = jnp.take_along_axis(
+            jnp.concatenate([jnp.zeros((B, 1), jnp.int32), Hrow], axis=1),
+            qlen[:, None],
+            axis=1,
+        )[:, 0]
+        active = ~state["done"] & (i < tlen)
+        upd_g = reaches & (state["gscore"] <= h_last) & active
+        gscore = jnp.where(upd_g, h_last, state["gscore"])
+        max_ie = jnp.where(upd_g, i, state["max_ie"])
+        # break / max / zdrop
+        brk_zero = mrow == 0
+        improved = mrow > state["maxv"]
+        di = i - state["max_i"]
+        dj = mj - state["max_j"]
+        zcond = jnp.where(
+            di > dj,
+            state["maxv"] - mrow - (di - dj) * e_del > zdrop,
+            state["maxv"] - mrow - (dj - di) * e_ins > zdrop,
+        )
+        brk_z = (zdrop > 0) & ~improved & zcond
+        maxv = jnp.where(active & improved, mrow, state["maxv"])
+        max_i = jnp.where(active & improved, i, state["max_i"])
+        max_j = jnp.where(active & improved, mj, state["max_j"])
+        max_off = jnp.where(
+            active & improved,
+            jnp.maximum(state["max_off"], jnp.abs(mj - i)),
+            state["max_off"],
+        )
+        done_next = state["done"] | (i + 1 >= tlen) | (active & (brk_zero | brk_z))
+        # window shrink scans over eh indices [beg, end]
+        dead = (eh_h2 == 0) & (eh_e2 == 0)
+        scan_mask = (jj >= beg[:, None]) & (jj <= end[:, None])
+        alive = (~dead) & scan_mask
+        any_alive = alive.any(axis=1)
+        first_alive = jnp.argmax(alive, axis=1).astype(jnp.int32)
+        beg2 = jnp.where(any_alive, first_alive, end)
+        last_alive = (Q - jnp.argmax(alive[:, ::-1], axis=1)).astype(jnp.int32)
+        jmax = jnp.where(any_alive, last_alive, beg2 - 1)
+        end2 = jnp.minimum(jmax + 2, qlen)
+        keep = active[:, None]
+        new_state = dict(
+            eh_h=jnp.where(keep, eh_h2, eh_h),
+            eh_e=jnp.where(keep, eh_e2, eh_e),
+            beg=jnp.where(active, beg2, state["beg"]),
+            end=jnp.where(active, end2, state["end"]),
+            done=done_next,
+            maxv=maxv,
+            max_i=max_i,
+            max_j=max_j,
+            max_ie=max_ie,
+            gscore=gscore,
+            max_off=max_off,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(row_step, init, jnp.arange(T, dtype=jnp.int32))
+    return dict(
+        score=state["maxv"],
+        qle=state["max_j"] + 1,
+        tle=state["max_i"] + 1,
+        gtle=state["max_ie"] + 1,
+        gscore=state["gscore"],
+        max_off=state["max_off"],
+    )
+
+
+def ksw_extend_batch_np(
+    qseqs, tseqs, mat, opt_params, h0s, ws, bonuses, bucket_q=None, bucket_t=None
+):
+    """Host wrapper: list of numpy (qseq, tseq) jobs -> list of result dicts."""
+    o_del, e_del, o_ins, e_ins, zdrop = opt_params
+    B = len(qseqs)
+    Q = max(bucket_q or 0, max((len(q) for q in qseqs), default=1), 1)
+    T = max(bucket_t or 0, max((len(t) for t in tseqs), default=1), 1)
+    qa = np.zeros((B, Q), dtype=np.int32)
+    ta = np.zeros((B, T), dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    tlen = np.zeros(B, dtype=np.int32)
+    for i, (q, t) in enumerate(zip(qseqs, tseqs)):
+        qa[i, : len(q)] = q
+        ta[i, : len(t)] = t
+        qlen[i] = len(q)
+        tlen[i] = len(t)
+    mat5 = np.asarray(mat, dtype=np.int32).reshape(5, 5)
+    out = ksw_extend_batch(
+        jnp.asarray(qa),
+        jnp.asarray(ta),
+        jnp.asarray(qlen),
+        jnp.asarray(tlen),
+        jnp.asarray(np.asarray(h0s, dtype=np.int32)),
+        jnp.asarray(np.asarray(ws, dtype=np.int32)),
+        jnp.asarray(np.asarray(bonuses, dtype=np.int32)),
+        jnp.asarray(mat5),
+        o_del, e_del, o_ins, e_ins, zdrop,
+        int(mat5.max()),
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+    return [{k: int(out[k][i]) for k in out} for i in range(B)]
