@@ -16,8 +16,8 @@ from typing import Callable, Iterable, List, Optional, Sequence, TypeVar
 import numpy as np
 
 from ..engine import pair as pair_mod
-from ..engine.finalize import Aln
-from ..engine.pipeline import align1_regs, align_se
+from ..engine.finalize import Aln, mark_primary_se
+from ..engine.pipeline import align_regs_batch, reg2sam_records
 from ..utils.encoding import seq_to_codes
 from .alignment import BAM_CIGAR_CHARS, BwaMemAlignment
 from .exceptions import InvalidInputException
@@ -160,8 +160,10 @@ class BwaMemAligner:
 
     def _align_se(self, eng, opt, reads) -> List[List[BwaMemAlignment]]:
         out = []
-        for i, read in enumerate(reads):
-            alns = align_se(opt, eng, read, read_id=i)
+        regs_all = align_regs_batch(opt, eng, reads)
+        for i, (read, regs) in enumerate(zip(reads, regs_all)):
+            mark_primary_se(opt, regs, i)
+            alns = reg2sam_records(opt, eng, read, regs)
             out.append([_aln_to_record(a, None) for a in alns])
         return out
 
@@ -170,7 +172,7 @@ class BwaMemAligner:
             raise InvalidInputException(
                 "paired alignment requires an even number of sequences"
             )
-        regs = [align1_regs(opt, eng, r) for r in reads]
+        regs = align_regs_batch(opt, eng, reads)
         pes = self._resolve_pes(opt, eng, regs)
         out: List[List[BwaMemAlignment]] = []
         for i in range(len(reads) // 2):

@@ -92,31 +92,46 @@ def _test_and_merge(
     return False
 
 
+def sample_ks(p: SmemIntv, max_occ: int) -> List[int]:
+    """BWT rows sampled from an interval ([EXT] mem_chain's step logic)."""
+    step = p.s // max_occ if p.s > max_occ else 1
+    ks = []
+    k = 0
+    count = 0
+    while k < p.s and count < max_occ:
+        ks.append(p.x0 + k)
+        k += step
+        count += 1
+    return ks
+
+
 def mem_chain(
     opt: MemOptions,
     fm: FMIndex,
     bns: Bntseq,
     qlen: int,
     intervals: List[SmemIntv],
+    rbegs_per_intv: List[np.ndarray] | None = None,
 ) -> List[Chain]:
-    """Seeds -> chains; returns chains in reference-position order."""
+    """Seeds -> chains; returns chains in reference-position order.
+
+    rbegs_per_intv: optional precomputed suffix-array positions for each
+    interval's sampled rows (the batched pipeline resolves them across all
+    reads in one sa_lookup call).
+    """
     if qlen < opt.min_seed_len:
         return []
     chains: List[Chain] = []  # kept sorted by .pos (b-tree stand-in)
     keys: List[int] = []
-    for p in intervals:
+    for pi, p in enumerate(intervals):
         slen = p.qlen
-        step = p.s // opt.max_occ if p.s > opt.max_occ else 1
-        ks = []
-        k = 0
-        count = 0
-        while k < p.s and count < opt.max_occ:
-            ks.append(p.x0 + k)
-            k += step
-            count += 1
-        if not ks:
-            continue
-        rbegs = fm.sa_lookup(np.asarray(ks, dtype=np.int64))
+        if rbegs_per_intv is not None:
+            rbegs = rbegs_per_intv[pi]
+        else:
+            ks = sample_ks(p, opt.max_occ)
+            if not ks:
+                continue
+            rbegs = fm.sa_lookup(np.asarray(ks, dtype=np.int64))
         for rbeg in rbegs.tolist():
             rid = bns.intv_to_rid(rbeg, rbeg + slen)
             if rid < 0:

@@ -33,9 +33,15 @@ class Engine:
 
 def align1_regs(opt: MemOptions, eng: Engine, query: np.ndarray) -> List[AlnReg]:
     """[EXT] mem_align1_core: read codes -> deduped alignment regions."""
-    qlen = len(query)
     intervals = collect_intv(opt, eng.fm, query)
-    chains = mem_chain(opt, eng.fm, eng.idx.bns, qlen, intervals)
+    return _regs_from_intervals(opt, eng, query, intervals, None)
+
+
+def _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv):
+    qlen = len(query)
+    chains = mem_chain(
+        opt, eng.fm, eng.idx.bns, qlen, intervals, rbegs_per_intv
+    )
     chains = chain_flt(opt, chains)
     # NOTE [EXT] mem_flt_chained_seeds is a no-op for reads shorter than
     # ~700bp (min_l > MEM_SEEDSW_COEF * l_query guard); long-read support
@@ -45,6 +51,45 @@ def align1_regs(opt: MemOptions, eng: Engine, query: np.ndarray) -> List[AlnReg]
         chain2aln(opt, eng.idx, qlen, query, c, regs)
     regs = sort_dedup_patch(opt, eng.idx, query, regs)
     return regs
+
+
+def align_regs_batch(
+    opt: MemOptions, eng: Engine, reads: List[np.ndarray]
+) -> List[List[AlnReg]]:
+    """Batched mem_align1_core over many reads.
+
+    Seeding runs in lockstep (one vectorized occ batch per tick across all
+    reads, engine/seed_batch.py) and every read's sampled suffix-array rows
+    resolve in a single batched sa_lookup; chaining/extension/dedup then run
+    per read.  Produces identical regions to align1_regs.
+    """
+    from .chain import sample_ks
+    from .seed_batch import collect_intv_batch
+
+    intervals_list = collect_intv_batch(opt, eng.fm, reads)
+    # one global SA resolution for every interval of every read
+    flat_ks: List[int] = []
+    spans: List[List[tuple]] = []
+    for intervals in intervals_list:
+        read_spans = []
+        for p in intervals:
+            ks = sample_ks(p, opt.max_occ)
+            read_spans.append((len(flat_ks), len(ks)))
+            flat_ks.extend(ks)
+        spans.append(read_spans)
+    if flat_ks:
+        flat_rbegs = eng.fm.sa_lookup(np.asarray(flat_ks, dtype=np.int64))
+    else:
+        flat_rbegs = np.zeros(0, dtype=np.int64)
+    out: List[List[AlnReg]] = []
+    for intervals, read_spans, query in zip(intervals_list, spans, reads):
+        rbegs_per_intv = [
+            flat_rbegs[off : off + ln] for off, ln in read_spans
+        ]
+        out.append(
+            _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv)
+        )
+    return out
 
 
 def gen_alt_xa(
