@@ -125,11 +125,47 @@ class FMIndex:
         return out.reshape(c.shape)
 
     def occ4(self, k: np.ndarray) -> np.ndarray:
-        """Counts of all four symbols among conceptual chars [0..k]; [Q, 4]."""
+        """Counts of all four symbols among conceptual chars [0..k]; [Q, 4].
+
+        Single gather of the checkpoint row + block words, then all four
+        symbol counts from two bit-planes ([EXT] bwt_occ4's job, done SWAR).
+        """
         k = np.asarray(k, dtype=np.int64).ravel()
-        out = np.empty((len(k), 4), dtype=np.int64)
-        for c in range(4):
-            out[:, c] = self.occ(k, np.full(len(k), c, dtype=np.int64))
+        n = len(k)
+        out = np.zeros((n, 4), dtype=np.int64)
+        is_all = k == self.seq_len
+        is_none = k == -1
+        mid = ~(is_all | is_none)
+        if is_all.any():
+            out[is_all] = (self.L2[1:5] - self.L2[0:4])[None, :]
+        if mid.any():
+            kk = k[mid] - (k[mid] >= self.primary)
+            block = kk >> 7
+            within = (kk & 127) + 1  # inclusive count
+            base = self.ckpt[block]  # [M, 4] one gather
+            w = self.words[block]  # [M, 8] one gather
+            # keep-mask for the first `within` chars (bit at 30-2j per char)
+            word_base = (np.arange(8, dtype=np.int64) * 16)[None, :]
+            valid = np.clip(within[:, None] - word_base, 0, 16).astype(np.uint32)
+            shift = (np.uint32(32) - np.uint32(2) * valid).astype(np.uint32)
+            full = np.uint32(0xFFFFFFFF)
+            keep = np.where(
+                valid == 0,
+                np.uint32(0),
+                (full << shift.clip(max=31)).astype(np.uint32),
+            )
+            keep = np.where(valid == 16, full, keep)
+            keep &= _M55
+            hi = (w >> np.uint32(1)) & _M55
+            lo = w & _M55
+            nhi = ~hi & _M55
+            nlo = ~lo & _M55
+            cnt = np.empty((kk.shape[0], 4), dtype=np.int64)
+            cnt[:, 0] = _popcount32(nhi & nlo & keep).sum(axis=1)
+            cnt[:, 1] = _popcount32(nhi & lo & keep).sum(axis=1)
+            cnt[:, 2] = _popcount32(hi & nlo & keep).sum(axis=1)
+            cnt[:, 3] = _popcount32(hi & lo & keep).sum(axis=1)
+            out[mid] = base + cnt
         return out
 
     # -------------------------------------------------------- interval ops

@@ -54,18 +54,30 @@ def _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv):
 
 
 def align_regs_batch(
-    opt: MemOptions, eng: Engine, reads: List[np.ndarray]
+    opt: MemOptions,
+    eng: Engine,
+    reads: List[np.ndarray],
+    use_device_extension: bool | None = None,
 ) -> List[List[AlnReg]]:
     """Batched mem_align1_core over many reads.
 
     Seeding runs in lockstep (one vectorized occ batch per tick across all
-    reads, engine/seed_batch.py) and every read's sampled suffix-array rows
-    resolve in a single batched sa_lookup; chaining/extension/dedup then run
-    per read.  Produces identical regions to align1_regs.
+    reads, engine/seed_batch.py), every read's sampled suffix-array rows
+    resolve in a single batched sa_lookup, and chain extension runs as
+    cross-read device-kernel waves (engine/extend_batch.py).  Produces
+    identical regions to align1_regs.
     """
-    from .chain import sample_ks
+    import os
+
+    from .chain import chain_flt, mem_chain, sample_ks
+    from .extend_batch import chain2aln_batch
     from .seed_batch import collect_intv_batch
 
+    if use_device_extension is None:
+        # default host: on this rig host<->device transfers ride a slow
+        # loopback relay, so the device kernel only wins for huge batches;
+        # real TPU hosts flip this via env
+        use_device_extension = os.environ.get("BWAMEM_TPU_DEVICE_EXTEND") == "1"
     intervals_list = collect_intv_batch(opt, eng.fm, reads)
     # one global SA resolution for every interval of every read
     flat_ks: List[int] = []
@@ -81,15 +93,28 @@ def align_regs_batch(
         flat_rbegs = eng.fm.sa_lookup(np.asarray(flat_ks, dtype=np.int64))
     else:
         flat_rbegs = np.zeros(0, dtype=np.int64)
-    out: List[List[AlnReg]] = []
+    if not use_device_extension:
+        out: List[List[AlnReg]] = []
+        for intervals, read_spans, query in zip(intervals_list, spans, reads):
+            rbegs_per_intv = [
+                flat_rbegs[off : off + ln] for off, ln in read_spans
+            ]
+            out.append(
+                _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv)
+            )
+        return out
+    chains_list = []
     for intervals, read_spans, query in zip(intervals_list, spans, reads):
-        rbegs_per_intv = [
-            flat_rbegs[off : off + ln] for off, ln in read_spans
-        ]
-        out.append(
-            _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv)
+        rbegs_per_intv = [flat_rbegs[off : off + ln] for off, ln in read_spans]
+        chains = mem_chain(
+            opt, eng.fm, eng.idx.bns, len(query), intervals, rbegs_per_intv
         )
-    return out
+        chains_list.append(chain_flt(opt, chains))
+    regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
+    return [
+        sort_dedup_patch(opt, eng.idx, query, regs)
+        for query, regs in zip(reads, regs_list)
+    ]
 
 
 def gen_alt_xa(
