@@ -168,8 +168,21 @@ def _run_kernel(opt: MemOptions, jobs, bonuses, ws, h0s):
     device dispatch would dominate; large waves go to the device kernel
     with coarse shape buckets so only a handful of shapes ever compile.
     """
+    import os
+
     n = len(jobs)
-    if n < HOST_FALLBACK_JOBS:
+    use_device = (
+        os.environ.get("BWAMEM_TPU_DEVICE_EXTEND") == "1"
+        and n >= HOST_FALLBACK_JOBS
+    )
+    if not use_device:
+        from . import native_ksw
+
+        if native_ksw.available():
+            return native_ksw.extend_batch(
+                jobs, opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                opt.zdrop, h0s, ws, bonuses,
+            )
         from .extend import ksw_extend2
 
         out = []

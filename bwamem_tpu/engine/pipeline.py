@@ -74,10 +74,10 @@ def align_regs_batch(
     from .seed_batch import collect_intv_batch
 
     if use_device_extension is None:
-        # default host: on this rig host<->device transfers ride a slow
-        # loopback relay, so the device kernel only wins for huge batches;
-        # real TPU hosts flip this via env
-        use_device_extension = os.environ.get("BWAMEM_TPU_DEVICE_EXTEND") == "1"
+        # the wave path picks its backend per wave (native C++ / python /
+        # device kernel via BWAMEM_TPU_DEVICE_EXTEND); False forces the
+        # sequential per-read oracle path (used by equivalence tests)
+        use_device_extension = True
     intervals_list = collect_intv_batch(opt, eng.fm, reads)
     # one global SA resolution for every interval of every read
     flat_ks: List[int] = []
