@@ -1,0 +1,315 @@
+// Native FM-index queries + SMEM seeding (host runtime hot path).
+//
+// C++ equivalent of the reference's [EXT] bwt.c role: Occ rank queries over
+// the checkpointed BWT, bidirectional interval extension, SMEM generation
+// (three-round mem_collect_intv seeding) and sampled-SA lookup.  Semantics
+// mirror the validated Python oracle (engine/fmindex.py + engine/seed.py)
+// exactly — same conventions (conceptual rows with the implicit sentinel at
+// `primary`, ok[] indexed by queried-space symbol).
+//
+// C ABI consumed by ../native_fm.py.  Index arrays are borrowed pointers
+// into the numpy arrays held by the Python FMIndex (int64 ckpt, uint32
+// words, int64 L2/sa).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct FM {
+  const int64_t* ckpt;   // [nb+1][4]
+  const uint32_t* words; // [nb][8]
+  const int64_t* L2;     // [5]
+  const int64_t* sa;     // [n_sa]
+  int64_t primary, seq_len, sa_intv;
+};
+
+inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
+
+// counts of all 4 symbols among conceptual BWT chars [0..k] inclusive
+inline void occ4(const FM& fm, int64_t k, int64_t cnt[4]) {
+  if (k == fm.seq_len) {
+    for (int c = 0; c < 4; ++c) cnt[c] = fm.L2[c + 1] - fm.L2[c];
+    return;
+  }
+  if (k == -1) {
+    cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
+    return;
+  }
+  int64_t kk = k - (k >= fm.primary);
+  int64_t block = kk >> 7;
+  int within = (int)(kk & 127) + 1;  // inclusive char count
+  const int64_t* base = fm.ckpt + block * 4;
+  const uint32_t* w = fm.words + block * 8;
+  int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0;
+  for (int wi = 0; wi < 8 && within > 0; ++wi, within -= 16) {
+    int valid = within < 16 ? within : 16;
+    uint32_t keep =
+        valid == 16 ? 0x55555555u
+                    : (uint32_t)(0xFFFFFFFFu << (32 - 2 * valid)) & 0x55555555u;
+    uint32_t hi = (w[wi] >> 1) & 0x55555555u;
+    uint32_t lo = w[wi] & 0x55555555u;
+    uint32_t nhi = ~hi & 0x55555555u, nlo = ~lo & 0x55555555u;
+    c0 += popcount32(nhi & nlo & keep);
+    c1 += popcount32(nhi & lo & keep);
+    c2 += popcount32(hi & nlo & keep);
+    c3 += popcount32(hi & lo & keep);
+  }
+  cnt[0] = base[0] + c0;
+  cnt[1] = base[1] + c1;
+  cnt[2] = base[2] + c2;
+  cnt[3] = base[3] + c3;
+}
+
+struct Intv {
+  int64_t x0, x1, s;
+  int64_t info;  // qb<<32 | qe
+};
+
+// bidirectional extension; ok[] indexed by queried-space symbol (bwa conv.)
+inline void bwt_extend(const FM& fm, const Intv& ik, Intv ok[4], bool is_back) {
+  int64_t tk[4], tl[4];
+  int64_t xq = is_back ? ik.x0 : ik.x1;
+  int64_t xo = is_back ? ik.x1 : ik.x0;
+  occ4(fm, xq - 1, tk);
+  occ4(fm, xq - 1 + ik.s, tl);
+  int64_t sz[4], nq[4];
+  for (int c = 0; c < 4; ++c) {
+    nq[c] = fm.L2[c] + 1 + tk[c];
+    sz[c] = tl[c] - tk[c];
+  }
+  int64_t has_sent = (xq <= fm.primary && xq + ik.s - 1 >= fm.primary) ? 1 : 0;
+  int64_t oo[4];
+  oo[3] = xo + has_sent;
+  oo[2] = oo[3] + sz[3];
+  oo[1] = oo[2] + sz[2];
+  oo[0] = oo[1] + sz[1];
+  for (int c = 0; c < 4; ++c) {
+    if (is_back) {
+      ok[c].x0 = nq[c];
+      ok[c].x1 = oo[c];
+    } else {
+      ok[c].x0 = oo[c];
+      ok[c].x1 = nq[c];
+    }
+    ok[c].s = sz[c];
+  }
+}
+
+inline void set_intv(const FM& fm, int c, Intv& ik) {
+  ik.x0 = fm.L2[c] + 1;
+  ik.x1 = fm.L2[3 - c] + 1;
+  ik.s = fm.L2[c + 1] - fm.L2[c];
+  ik.info = 0;
+}
+
+// exact mirror of engine/seed.py::smem1a (itself [EXT] bwt_smem1a)
+int smem1a(const FM& fm, const uint8_t* q, int len, int x, int64_t min_intv,
+           int64_t max_intv, std::vector<Intv>& mems,
+           std::vector<Intv>& curr, std::vector<Intv>& prev) {
+  if (q[x] > 3) return x + 1;
+  size_t mems0 = mems.size();
+  Intv ik, ok[4];
+  set_intv(fm, q[x], ik);
+  ik.info = x + 1;
+  curr.clear();
+  int i = x + 1;
+  for (; i < len; ++i) {
+    if (ik.s < max_intv) {
+      curr.push_back(ik);
+      break;
+    }
+    if (q[i] < 4) {
+      int c = 3 - q[i];
+      bwt_extend(fm, ik, ok, false);
+      if (ok[c].s != ik.s) {
+        curr.push_back(ik);
+        if (ok[c].s < min_intv) break;
+      }
+      ok[c].info = i + 1;
+      ik = ok[c];
+    } else {
+      curr.push_back(ik);
+      break;
+    }
+  }
+  if (i == len) curr.push_back(ik);
+  int ret = curr.empty() ? x + 1 : (int)curr.back().info;
+  std::reverse(curr.begin(), curr.end());  // longest match first
+  prev = curr;
+  for (i = x - 1; i >= -1; --i) {
+    int c = (i < 0 || q[i] > 3) ? -1 : q[i];
+    curr.clear();
+    for (size_t j = 0; j < prev.size(); ++j) {
+      const Intv& p = prev[j];
+      bool did_ext = (c >= 0 && p.s >= max_intv);
+      if (did_ext) bwt_extend(fm, p, ok, true);
+      if (c < 0 || p.s < max_intv || ok[c].s < min_intv) {
+        if (curr.empty()) {
+          bool keep = (mems.size() == mems0) ||
+                      (int64_t)(i + 1) < (mems.back().info >> 32);
+          if (keep) {
+            Intv m = p;
+            m.info = ((int64_t)(i + 1) << 32) | (m.info & 0xFFFFFFFFll);
+            mems.push_back(m);
+          }
+        }
+      } else if (curr.empty() || ok[c].s != curr.back().s) {
+        ok[c].info = p.info;
+        curr.push_back(ok[c]);
+      }
+    }
+    if (curr.empty()) break;
+    std::swap(curr, prev);
+  }
+  std::reverse(mems.begin() + mems0, mems.end());
+  return ret;
+}
+
+// exact mirror of engine/seed.py::seed_strategy1 ([EXT] bwt_seed_strategy1)
+int seed_strategy1(const FM& fm, const uint8_t* q, int len, int x, int min_len,
+                   int64_t max_intv, Intv* out, bool* found) {
+  *found = false;
+  if (q[x] > 3) return x + 1;
+  Intv ik, ok[4];
+  set_intv(fm, q[x], ik);
+  for (int i = x + 1; i < len; ++i) {
+    if (q[i] < 4) {
+      int c = 3 - q[i];
+      bwt_extend(fm, ik, ok, false);
+      if (ok[c].s < max_intv && i - x >= min_len) {
+        *out = ok[c];
+        out->info = ((int64_t)x << 32) | (int64_t)(i + 1);
+        *found = true;
+        return i + 1;
+      }
+      ik = ok[c];
+    } else {
+      return i + 1;
+    }
+  }
+  return len;
+}
+
+// exact mirror of engine/seed.py::collect_intv ([EXT] mem_collect_intv)
+void collect_intv_one(const FM& fm, const uint8_t* q, int len,
+                      int min_seed_len, int split_len, int split_width,
+                      int64_t max_mem_intv, std::vector<Intv>& mems) {
+  std::vector<Intv> tmp, curr, prev;
+  int x = 0;
+  while (x < len) {
+    if (q[x] < 4) {
+      tmp.clear();
+      x = smem1a(fm, q, len, x, 1, 0, tmp, curr, prev);
+      for (const Intv& m : tmp) {
+        int qb = (int)(m.info >> 32), qe = (int)(m.info & 0xFFFFFFFFll);
+        if (qe - qb >= min_seed_len) mems.push_back(m);
+      }
+    } else {
+      ++x;
+    }
+  }
+  size_t old_n = mems.size();
+  for (size_t k = 0; k < old_n; ++k) {
+    Intv p = mems[k];
+    int qb = (int)(p.info >> 32), qe = (int)(p.info & 0xFFFFFFFFll);
+    if (qe - qb < split_len || p.s > split_width) continue;
+    tmp.clear();
+    smem1a(fm, q, len, (qb + qe) >> 1, p.s + 1, 0, tmp, curr, prev);
+    for (const Intv& m : tmp) {
+      int b = (int)(m.info >> 32), e = (int)(m.info & 0xFFFFFFFFll);
+      if (e - b >= min_seed_len) mems.push_back(m);
+    }
+  }
+  if (max_mem_intv > 0) {
+    x = 0;
+    while (x < len) {
+      if (q[x] < 4) {
+        Intv m;
+        bool found;
+        x = seed_strategy1(fm, q, len, x, min_seed_len, max_mem_intv, &m,
+                           &found);
+        if (found && m.s > 0) mems.push_back(m);
+      } else {
+        ++x;
+      }
+    }
+  }
+  std::sort(mems.begin(), mems.end(),
+            [](const Intv& a, const Intv& b) { return a.info < b.info; });
+}
+
+// sampled-SA position of conceptual row k ([EXT] bwt_sa)
+inline uint8_t bwt_char_at(const FM& fm, int64_t phys) {
+  int64_t block = phys >> 7;
+  int within = (int)(phys & 127);
+  uint32_t word = fm.words[block * 8 + (within >> 4)];
+  return (word >> (30 - 2 * (within & 15))) & 3;
+}
+
+inline int64_t inv_psi(const FM& fm, int64_t k) {
+  if (k == fm.primary) return 0;
+  int64_t kk = k - (k > fm.primary);
+  int c = bwt_char_at(fm, kk);
+  int64_t cnt[4];
+  occ4(fm, k, cnt);
+  return fm.L2[c] + cnt[c];
+}
+
+inline int64_t sa_one(const FM& fm, int64_t k) {
+  int64_t steps = 0;
+  while (k % fm.sa_intv != 0) {
+    k = inv_psi(fm, k);
+    ++steps;
+  }
+  return fm.sa[k / fm.sa_intv] + steps;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched three-round seeding.  reads flattened via offsets; per-read
+// output intervals appended to a caller-grown buffer protocol:
+//   pass 1 (probe): out == nullptr -> fills n_out[i] with interval counts
+//   pass 2: out != nullptr, out_off[i] gives each read's slot; rows are
+//     (x0, x1, s, qb, qe) int64.
+void bwamem_collect_intv_batch(
+    const int64_t* ckpt, const uint32_t* words, const int64_t* L2,
+    const int64_t* sa, int64_t primary, int64_t seq_len, int64_t sa_intv,
+    int64_t n_reads, const uint8_t* rbuf, const int64_t* roff,
+    const int32_t* rlen, int min_seed_len, int split_len, int split_width,
+    int64_t max_mem_intv, int64_t* n_out, int64_t* out_off, int64_t* out) {
+  FM fm{ckpt, words, L2, sa, primary, seq_len, sa_intv};
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t i = 0; i < n_reads; ++i) {
+    std::vector<Intv> mems;
+    collect_intv_one(fm, rbuf + roff[i], rlen[i], min_seed_len, split_len,
+                     split_width, max_mem_intv, mems);
+    n_out[i] = (int64_t)mems.size();
+    if (out != nullptr) {
+      int64_t* row = out + out_off[i] * 5;
+      for (const Intv& m : mems) {
+        row[0] = m.x0;
+        row[1] = m.x1;
+        row[2] = m.s;
+        row[3] = m.info >> 32;
+        row[4] = m.info & 0xFFFFFFFFll;
+        row += 5;
+      }
+    }
+  }
+}
+
+void bwamem_sa_batch(const int64_t* ckpt, const uint32_t* words,
+                     const int64_t* L2, const int64_t* sa, int64_t primary,
+                     int64_t seq_len, int64_t sa_intv, int64_t n,
+                     const int64_t* ks, int64_t* out) {
+  FM fm{ckpt, words, L2, sa, primary, seq_len, sa_intv};
+#pragma omp parallel for schedule(static, 256)
+  for (int64_t i = 0; i < n; ++i) out[i] = sa_one(fm, ks[i]);
+}
+
+}  // extern "C"

@@ -1,0 +1,160 @@
+"""ctypes binding for the native FM-index/SMEM engine (native/fmindex.cpp)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List
+
+import numpy as np
+
+from .seed import SmemIntv
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native", "fmindex.cpp")
+_LIB = os.path.join(_HERE, "native", "libbwamem_fm.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U32P = ctypes.POINTER(ctypes.c_uint32)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+def _ensure_built() -> bool:
+    global _lib, _build_failed
+    if _lib is not None:
+        return True
+    if _build_failed:
+        return False
+    with _lock:
+        if _lib is not None:
+            return True
+        if _build_failed:
+            return False
+        try:
+            if (not os.path.exists(_LIB)) or (
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-fopenmp", "-o", _LIB, _SRC],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB)
+            lib.bwamem_collect_intv_batch.restype = None
+            lib.bwamem_collect_intv_batch.argtypes = [
+                _I64P, _U32P, _I64P, _I64P,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _U8P, _I64P, _I32P,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+                _I64P, _I64P, _I64P,
+            ]
+            lib.bwamem_sa_batch.restype = None
+            lib.bwamem_sa_batch.argtypes = [
+                _I64P, _U32P, _I64P, _I64P,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _I64P, _I64P,
+            ]
+            _lib = lib
+            return True
+        except (OSError, subprocess.CalledProcessError):
+            _build_failed = True
+            return False
+
+
+def available() -> bool:
+    return _ensure_built()
+
+
+class _FmArrays:
+    """Keeps C-contiguous views of an FMIndex's arrays + ctypes pointers."""
+
+    def __init__(self, fm):
+        self.ckpt = np.ascontiguousarray(fm.ckpt, dtype=np.int64)
+        self.words = np.ascontiguousarray(fm.words, dtype=np.uint32)
+        self.L2 = np.ascontiguousarray(fm.L2, dtype=np.int64)
+        self.sa = np.ascontiguousarray(fm.sa, dtype=np.int64)
+        self.primary = int(fm.primary)
+        self.seq_len = int(fm.seq_len)
+        self.sa_intv = int(fm.sa_intv)
+
+    def ptrs(self):
+        return (
+            self.ckpt.ctypes.data_as(_I64P),
+            self.words.ctypes.data_as(_U32P),
+            self.L2.ctypes.data_as(_I64P),
+            self.sa.ctypes.data_as(_I64P),
+            self.primary,
+            self.seq_len,
+            self.sa_intv,
+        )
+
+
+def get_arrays(fm) -> _FmArrays:
+    cached = getattr(fm, "_native_arrays", None)
+    if cached is None:
+        cached = _FmArrays(fm)
+        fm._native_arrays = cached
+    return cached
+
+
+def collect_intv_batch(opt, fm, reads: List[np.ndarray]) -> List[List[SmemIntv]]:
+    """Native three-round seeding for a batch of reads."""
+    if not _ensure_built():
+        raise RuntimeError("native fmindex unavailable")
+    arr = get_arrays(fm)
+    n = len(reads)
+    roff = np.zeros(n, dtype=np.int64)
+    rlen = np.zeros(n, dtype=np.int32)
+    pos = 0
+    for i, r in enumerate(reads):
+        roff[i] = pos
+        rlen[i] = len(r)
+        pos += len(r)
+    rbuf = np.empty(max(pos, 1), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        rbuf[roff[i] : roff[i] + rlen[i]] = r
+    n_out = np.zeros(n, dtype=np.int64)
+    base = arr.ptrs()
+    args = (
+        *base, n,
+        rbuf.ctypes.data_as(_U8P), roff.ctypes.data_as(_I64P),
+        rlen.ctypes.data_as(_I32P),
+        opt.min_seed_len, opt.split_len, opt.split_width, opt.max_mem_intv,
+        n_out.ctypes.data_as(_I64P),
+    )
+    # pass 1: counts
+    _lib.bwamem_collect_intv_batch(*args, None, None)
+    out_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_out[:-1], out=out_off[1:])
+    total = int(n_out.sum())
+    out = np.empty((max(total, 1), 5), dtype=np.int64)
+    # pass 2: fill
+    _lib.bwamem_collect_intv_batch(
+        *args, out_off.ctypes.data_as(_I64P), out.ctypes.data_as(_I64P)
+    )
+    res: List[List[SmemIntv]] = []
+    for i in range(n):
+        rows = out[out_off[i] : out_off[i] + n_out[i]]
+        res.append(
+            [SmemIntv(int(a), int(b), int(c), int(d), int(e)) for a, b, c, d, e in rows.tolist()]
+        )
+    return res
+
+
+def sa_batch(fm, ks: np.ndarray) -> np.ndarray:
+    if not _ensure_built():
+        raise RuntimeError("native fmindex unavailable")
+    arr = get_arrays(fm)
+    ks = np.ascontiguousarray(ks, dtype=np.int64)
+    out = np.empty(len(ks), dtype=np.int64)
+    _lib.bwamem_sa_batch(
+        *arr.ptrs(), len(ks),
+        ks.ctypes.data_as(_I64P), out.ctypes.data_as(_I64P),
+    )
+    return out

@@ -73,12 +73,17 @@ def align_regs_batch(
     from .extend_batch import chain2aln_batch
     from .seed_batch import collect_intv_batch
 
+    from . import native_fm
+
     if use_device_extension is None:
         # the wave path picks its backend per wave (native C++ / python /
         # device kernel via BWAMEM_TPU_DEVICE_EXTEND); False forces the
         # sequential per-read oracle path (used by equivalence tests)
         use_device_extension = True
-    intervals_list = collect_intv_batch(opt, eng.fm, reads)
+    if native_fm.available():
+        intervals_list = native_fm.collect_intv_batch(opt, eng.fm, reads)
+    else:
+        intervals_list = collect_intv_batch(opt, eng.fm, reads)
     # one global SA resolution for every interval of every read
     flat_ks: List[int] = []
     spans: List[List[tuple]] = []
@@ -89,10 +94,12 @@ def align_regs_batch(
             read_spans.append((len(flat_ks), len(ks)))
             flat_ks.extend(ks)
         spans.append(read_spans)
-    if flat_ks:
-        flat_rbegs = eng.fm.sa_lookup(np.asarray(flat_ks, dtype=np.int64))
-    else:
+    if not flat_ks:
         flat_rbegs = np.zeros(0, dtype=np.int64)
+    elif native_fm.available():
+        flat_rbegs = native_fm.sa_batch(eng.fm, np.asarray(flat_ks, dtype=np.int64))
+    else:
+        flat_rbegs = eng.fm.sa_lookup(np.asarray(flat_ks, dtype=np.int64))
     if not use_device_extension:
         out: List[List[AlnReg]] = []
         for intervals, read_spans, query in zip(intervals_list, spans, reads):
