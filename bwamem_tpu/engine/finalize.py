@@ -88,13 +88,10 @@ def gen_cigar2(
         q = query[::-1].copy()
         rseq = rseq[::-1].copy()
     if l_query == re - rb and w_ == 0:
-        # no gap possible; straight diagonal
+        # no gap possible; straight diagonal (vectorized score)
         cigar = [(0, l_query)]
-        score = int(
-            sum(
-                opt.mat[int(rseq[i]) * 5 + int(q[i])] for i in range(l_query)
-            )
-        )
+        mat5 = np.asarray(opt.mat, dtype=np.int64).reshape(5, 5)
+        score = int(mat5[rseq.astype(np.int64), q.astype(np.int64)].sum())
     else:
         max_sc = opt.mat[0]
         max_ins = int((((l_query + 1) >> 1) * max_sc - opt.o_ins) / opt.e_ins + 1.0)
@@ -107,21 +104,23 @@ def gen_cigar2(
         score, cigar = ksw_global2(
             q, rseq, opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w
         )
-    # NM / MD over the (possibly flipped) sequences
+    # NM / MD over the (possibly flipped) sequences (M runs vectorized)
     int2base = "ACGTN" if rb < l_pac else "TGCAN"
     md = []
     x = y = u = 0
     n_mm = 0
     for k, (op, ln) in enumerate(cigar):
         if op == 0:  # match
-            for i in range(ln):
-                if q[x + i] != rseq[y + i]:
-                    md.append(str(u))
-                    md.append(int2base[int(rseq[y + i])])
-                    n_mm += 1
-                    u = 0
-                else:
-                    u += 1
+            qs = q[x : x + ln]
+            rs = rseq[y : y + ln]
+            mism = np.nonzero(qs != rs)[0]
+            n_mm += len(mism)
+            prev = -1
+            for i in mism.tolist():
+                md.append(str(u + i - prev - 1))
+                md.append(int2base[int(rs[i])])
+                prev = i
+            u = (u + ln) if len(mism) == 0 else (ln - 1 - int(mism[-1]))
             x += ln
             y += ln
         elif op == 2:  # deletion
