@@ -1,0 +1,147 @@
+"""Command-line front end: bwa-style `index` and `mem` subcommands.
+
+The reference is a library with no CLI; this adds the obvious operational
+surface on top of the same engine so results can be diffed against
+`bwa mem` SAM output directly (the parity metric in BASELINE.md).
+
+    python -m bwamem_tpu index ref.fa [-o ref.img]
+    python -m bwamem_tpu mem ref.img reads.fq [mates.fq] > out.sam
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+
+
+def cmd_index(args) -> int:
+    from .api.index import BwaMemIndex
+
+    out = args.output or (args.fasta + ".img")
+    BwaMemIndex.create_index_image_from_fasta_file(args.fasta, out)
+    if args.bwa_files:
+        BwaMemIndex.index_reference(args.fasta, args.fasta)
+    print(f"[bwamem_tpu] wrote index image {out}", file=sys.stderr)
+    return 0
+
+
+def cmd_mem(args) -> int:
+    import os
+
+    from .api.aligner import BwaMemAligner
+    from .api.index import BwaMemIndex
+    from .api.sam import aln2sam, sam_header
+    from .api.pestats import BwaMemPairEndStats
+    from .engine.pipeline import Engine, align_regs_batch, reg2sam_records
+    from .engine.finalize import mark_primary_se
+    from .engine import pair as pair_mod
+    from .utils.encoding import seq_to_codes
+    from .utils.fastq import read_fastx
+
+    ref = args.reference
+    if not os.path.exists(ref) and os.path.exists(ref + ".img"):
+        ref = ref + ".img"
+    if ref.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
+        img = ref + ".img"
+        if not os.path.exists(img):
+            print(f"[bwamem_tpu] building index image {img}...", file=sys.stderr)
+            BwaMemIndex.create_index_image_from_fasta_file(ref, img)
+        ref = img
+    index = BwaMemIndex(ref)
+    aligner = BwaMemAligner(index)
+    opt = aligner.options
+    if args.T is not None:
+        opt.T = args.T
+    if args.k is not None:
+        opt.min_seed_len = args.k
+    out = sys.stdout
+    out.write(sam_header(index._require().idx.bns.anns))
+    eng = index._require()
+    paired = args.mates is not None
+    if paired:
+        aligner.align_pairs()
+        if args.insert_mean is not None:
+            aligner.set_proper_pair_end_stats(
+                BwaMemPairEndStats.of(args.insert_mean, args.insert_std)
+            )
+        it1 = read_fastx(args.reads)
+        it2 = read_fastx(args.mates)
+        stream = ((a, b) for a, b in zip(it1, it2))
+        n_done = 0
+        while True:
+            batch = list(itertools.islice(stream, args.batch // 2))
+            if not batch:
+                break
+            reads = []
+            for r1, r2 in batch:
+                reads.append(r1)
+                reads.append(r2)
+            codes = [seq_to_codes(r.seq) for r in reads]
+            regs = align_regs_batch(opt, eng, codes)
+            pes = aligner._resolve_pes(opt, eng, regs)
+            for i, (r1, r2) in enumerate(batch):
+                alns0, alns1 = pair_mod.sam_pe(
+                    opt, eng, pes, n_done // 2 + i,
+                    (codes[2 * i], codes[2 * i + 1]),
+                    [regs[2 * i], regs[2 * i + 1]],
+                )
+                m0 = alns0[0] if alns0 else None
+                m1 = alns1[0] if alns1 else None
+                for w, a in enumerate(alns0):
+                    out.write(aln2sam(opt, eng.idx.bns.anns, r1.name,
+                                      codes[2 * i], r1.qual, a, w, m1) + "\n")
+                for w, a in enumerate(alns1):
+                    out.write(aln2sam(opt, eng.idx.bns.anns, r2.name,
+                                      codes[2 * i + 1], r2.qual, a, w, m0) + "\n")
+            n_done += len(reads)
+            print(f"[bwamem_tpu] processed {n_done} reads", file=sys.stderr)
+    else:
+        stream = read_fastx(args.reads)
+        n_done = 0
+        while True:
+            batch = list(itertools.islice(stream, args.batch))
+            if not batch:
+                break
+            codes = [seq_to_codes(r.seq) for r in batch]
+            regs_all = align_regs_batch(opt, eng, codes)
+            for i, (r, regs) in enumerate(zip(batch, regs_all)):
+                mark_primary_se(opt, regs, n_done + i)
+                alns = reg2sam_records(opt, eng, codes[i], regs)
+                for w, a in enumerate(alns):
+                    out.write(
+                        aln2sam(opt, eng.idx.bns.anns, r.name, codes[i],
+                                r.qual, a, w) + "\n"
+                    )
+            n_done += len(batch)
+            print(f"[bwamem_tpu] processed {n_done} reads", file=sys.stderr)
+    index.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="bwamem_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_idx = sub.add_parser("index", help="build an index image from FASTA")
+    p_idx.add_argument("fasta")
+    p_idx.add_argument("-o", "--output", default=None)
+    p_idx.add_argument(
+        "--bwa-files", action="store_true",
+        help="also write bwa-format .amb/.ann/.bwt/.pac/.sa files",
+    )
+    p_idx.set_defaults(func=cmd_index)
+    p_mem = sub.add_parser("mem", help="align reads, SAM to stdout")
+    p_mem.add_argument("reference", help="index image (or FASTA to auto-index)")
+    p_mem.add_argument("reads")
+    p_mem.add_argument("mates", nargs="?", default=None)
+    p_mem.add_argument("-T", type=int, default=None, help="score threshold")
+    p_mem.add_argument("-k", type=int, default=None, help="min seed length")
+    p_mem.add_argument("--batch", type=int, default=20000)
+    p_mem.add_argument("--insert-mean", type=float, default=None)
+    p_mem.add_argument("--insert-std", type=float, default=50.0)
+    p_mem.set_defaults(func=cmd_mem)
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
