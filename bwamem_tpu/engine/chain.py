@@ -164,6 +164,73 @@ def mem_chain(
     return chains
 
 
+MEM_SHORT_EXT = 50
+MEM_SHORT_LEN = 200
+MEM_HSP_COEF = 1.1
+MEM_MINSC_COEF = 5.5
+MEM_SEEDSW_COEF = 0.05
+
+
+def _seed_sw(opt: MemOptions, idx, qlen: int, query: np.ndarray, s: Seed) -> int:
+    """[EXT] mem_seed_sw: local SW of a short seed's neighborhood, to judge
+    whether the seed can support a decent alignment.  -1 = seed long enough
+    to trust without SW."""
+    from .pair import sw_local
+
+    bns = idx.bns
+    l_pac = bns.l_pac
+    if s.len >= MEM_SHORT_LEN:
+        return -1
+    qb, qe = s.qbeg, s.qbeg + s.len
+    rb, re = s.rbeg, s.rbeg + s.len
+    mid = (rb + re) >> 1
+    qb = max(qb - MEM_SHORT_EXT, 0)
+    qe = min(qe + MEM_SHORT_EXT, qlen)
+    rb = max(rb - MEM_SHORT_EXT, 0)
+    re = min(re + MEM_SHORT_EXT, l_pac << 1)
+    if rb < l_pac < re:
+        if mid < l_pac:
+            re = l_pac
+        else:
+            rb = l_pac
+    if qe - qb >= MEM_SHORT_LEN or re - rb >= MEM_SHORT_LEN:
+        return -1
+    rseq = idx.get_seq(rb, re)
+    hit = sw_local(
+        query[qb:qe], rseq, opt.mat, opt.o_del, opt.e_del, opt.o_ins,
+        opt.e_ins, (qe - qb) * opt.a,
+    )
+    return hit.score
+
+
+def flt_chained_seeds(
+    opt: MemOptions, idx, qlen: int, query: np.ndarray, chains: List[Chain]
+) -> None:
+    """[EXT] mem_flt_chained_seeds: drop poorly-scoring seeds inside chains.
+
+    A no-op for reads shorter than ~700bp (the min_l > 0.05*l guard) —
+    exactly like the reference; it matters for long-read chimeric input.
+    """
+    import math
+
+    min_l = (
+        MEM_HSP_COEF * opt.min_chain_weight
+        if opt.min_chain_weight
+        else MEM_MINSC_COEF * math.log(qlen)
+    )
+    min_hsp_score = int(opt.a * min_l + 0.499)
+    if min_l > MEM_SEEDSW_COEF * qlen:
+        return
+    for c in chains:
+        kept = []
+        for s in c.seeds:
+            score = _seed_sw(opt, idx, qlen, query, s)
+            if score < 0 or score >= min_hsp_score:
+                s.score = s.len * opt.a if score < 0 else score
+                kept.append(s)
+        c.seeds = kept
+
+
 def chain_weight(c: Chain) -> int:
     """[EXT] mem_chain_weight: min(query coverage, reference coverage)."""
     w_q = 0

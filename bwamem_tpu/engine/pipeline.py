@@ -38,14 +38,14 @@ def align1_regs(opt: MemOptions, eng: Engine, query: np.ndarray) -> List[AlnReg]
 
 
 def _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv):
+    from .chain import flt_chained_seeds
+
     qlen = len(query)
     chains = mem_chain(
         opt, eng.fm, eng.idx.bns, qlen, intervals, rbegs_per_intv
     )
     chains = chain_flt(opt, chains)
-    # NOTE [EXT] mem_flt_chained_seeds is a no-op for reads shorter than
-    # ~700bp (min_l > MEM_SEEDSW_COEF * l_query guard); long-read support
-    # will add it.
+    flt_chained_seeds(opt, eng.idx, qlen, query, chains)
     regs: List[AlnReg] = []
     for c in chains:
         chain2aln(opt, eng.idx, qlen, query, c, regs)
@@ -110,13 +110,17 @@ def align_regs_batch(
                 _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv)
             )
         return out
+    from .chain import flt_chained_seeds
+
     chains_list = []
     for intervals, read_spans, query in zip(intervals_list, spans, reads):
         rbegs_per_intv = [flat_rbegs[off : off + ln] for off, ln in read_spans]
         chains = mem_chain(
             opt, eng.fm, eng.idx.bns, len(query), intervals, rbegs_per_intv
         )
-        chains_list.append(chain_flt(opt, chains))
+        chains = chain_flt(opt, chains)
+        flt_chained_seeds(opt, eng.idx, len(query), query, chains)
+        chains_list.append(chains)
     regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
     return [
         sort_dedup_patch(opt, eng.idx, query, regs)
