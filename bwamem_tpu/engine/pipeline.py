@@ -72,6 +72,7 @@ def align_regs_batch(
     from .chain import chain_flt, mem_chain, sample_ks
     from .extend_batch import chain2aln_batch
     from .seed_batch import collect_intv_batch
+    from ..utils.timers import TIMERS
 
     from . import native_fm
 
@@ -80,26 +81,30 @@ def align_regs_batch(
         # device kernel via BWAMEM_TPU_DEVICE_EXTEND); False forces the
         # sequential per-read oracle path (used by equivalence tests)
         use_device_extension = True
-    if native_fm.available():
-        intervals_list = native_fm.collect_intv_batch(opt, eng.fm, reads)
-    else:
-        intervals_list = collect_intv_batch(opt, eng.fm, reads)
+    with TIMERS.stage("seed"):
+        if native_fm.available():
+            intervals_list = native_fm.collect_intv_batch(opt, eng.fm, reads)
+        else:
+            intervals_list = collect_intv_batch(opt, eng.fm, reads)
     # one global SA resolution for every interval of every read
-    flat_ks: List[int] = []
-    spans: List[List[tuple]] = []
-    for intervals in intervals_list:
-        read_spans = []
-        for p in intervals:
-            ks = sample_ks(p, opt.max_occ)
-            read_spans.append((len(flat_ks), len(ks)))
-            flat_ks.extend(ks)
-        spans.append(read_spans)
-    if not flat_ks:
-        flat_rbegs = np.zeros(0, dtype=np.int64)
-    elif native_fm.available():
-        flat_rbegs = native_fm.sa_batch(eng.fm, np.asarray(flat_ks, dtype=np.int64))
-    else:
-        flat_rbegs = eng.fm.sa_lookup(np.asarray(flat_ks, dtype=np.int64))
+    with TIMERS.stage("sa_lookup"):
+        flat_ks: List[int] = []
+        spans: List[List[tuple]] = []
+        for intervals in intervals_list:
+            read_spans = []
+            for p in intervals:
+                ks = sample_ks(p, opt.max_occ)
+                read_spans.append((len(flat_ks), len(ks)))
+                flat_ks.extend(ks)
+            spans.append(read_spans)
+        if not flat_ks:
+            flat_rbegs = np.zeros(0, dtype=np.int64)
+        elif native_fm.available():
+            flat_rbegs = native_fm.sa_batch(
+                eng.fm, np.asarray(flat_ks, dtype=np.int64)
+            )
+        else:
+            flat_rbegs = eng.fm.sa_lookup(np.asarray(flat_ks, dtype=np.int64))
     if not use_device_extension:
         out: List[List[AlnReg]] = []
         for intervals, read_spans, query in zip(intervals_list, spans, reads):
@@ -112,20 +117,25 @@ def align_regs_batch(
         return out
     from .chain import flt_chained_seeds
 
-    chains_list = []
-    for intervals, read_spans, query in zip(intervals_list, spans, reads):
-        rbegs_per_intv = [flat_rbegs[off : off + ln] for off, ln in read_spans]
-        chains = mem_chain(
-            opt, eng.fm, eng.idx.bns, len(query), intervals, rbegs_per_intv
-        )
-        chains = chain_flt(opt, chains)
-        flt_chained_seeds(opt, eng.idx, len(query), query, chains)
-        chains_list.append(chains)
-    regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
-    return [
-        sort_dedup_patch(opt, eng.idx, query, regs)
-        for query, regs in zip(reads, regs_list)
-    ]
+    with TIMERS.stage("chain"):
+        chains_list = []
+        for intervals, read_spans, query in zip(intervals_list, spans, reads):
+            rbegs_per_intv = [
+                flat_rbegs[off : off + ln] for off, ln in read_spans
+            ]
+            chains = mem_chain(
+                opt, eng.fm, eng.idx.bns, len(query), intervals, rbegs_per_intv
+            )
+            chains = chain_flt(opt, chains)
+            flt_chained_seeds(opt, eng.idx, len(query), query, chains)
+            chains_list.append(chains)
+    with TIMERS.stage("extend"):
+        regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
+    with TIMERS.stage("dedup"):
+        return [
+            sort_dedup_patch(opt, eng.idx, query, regs)
+            for query, regs in zip(reads, regs_list)
+        ]
 
 
 def gen_alt_xa(
