@@ -108,12 +108,31 @@ class MemOptions:
         return int(self.min_seed_len * self.split_factor + 0.499)
 
     def max_gap(self, qlen: int) -> int:
-        """cal_max_gap: max gap length affordable at score level for qlen."""
-        l_del = int((qlen * self.a - self.o_del) / self.e_del + 1.0)
-        l_ins = int((qlen * self.a - self.o_ins) / self.e_ins + 1.0)
-        l = max(l_del, l_ins)
-        l = max(l, 1)
-        return min(l, self.w << 1)
+        """cal_max_gap: max gap length affordable at score level for qlen.
+
+        Memoized per options instance, keyed on every input (hot in chain
+        extension pruning; safe under option mutation)."""
+        key = (qlen, self.a, self.o_del, self.e_del, self.o_ins, self.e_ins, self.w)
+        cache = self.__dict__.setdefault("_max_gap_cache", {})
+        v = cache.get(key)
+        if v is None:
+            l_del = int((qlen * self.a - self.o_del) / self.e_del + 1.0)
+            l_ins = int((qlen * self.a - self.o_ins) / self.e_ins + 1.0)
+            v = min(max(l_del, l_ins, 1), self.w << 1)
+            cache[key] = v
+        return v
+
+    @property
+    def mat5(self):
+        """Scoring matrix as a 5x5 int64 array, cached per mat identity."""
+        import numpy as np
+
+        cached = self.__dict__.get("_mat5")
+        if cached is None or self.__dict__.get("_mat5_id") != id(self.mat):
+            cached = np.asarray(self.mat, dtype=np.int64).reshape(5, 5)
+            self.__dict__["_mat5"] = cached
+            self.__dict__["_mat5_id"] = id(self.mat)
+        return cached
 
     # ------------------------------------------------------------- C ABI
 

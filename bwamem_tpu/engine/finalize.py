@@ -90,8 +90,7 @@ def gen_cigar2(
     if l_query == re - rb and w_ == 0:
         # no gap possible; straight diagonal (vectorized score)
         cigar = [(0, l_query)]
-        mat5 = np.asarray(opt.mat, dtype=np.int64).reshape(5, 5)
-        score = int(mat5[rseq.astype(np.int64), q.astype(np.int64)].sum())
+        score = int(opt.mat5[rseq.astype(np.int64), q.astype(np.int64)].sum())
     else:
         max_sc = opt.mat[0]
         max_ins = int((((l_query + 1) >> 1) * max_sc - opt.o_ins) / opt.e_ins + 1.0)

@@ -303,6 +303,43 @@ void bwamem_collect_intv_batch(
   }
 }
 
+// Single-pass variant: collects per-read interval vectors in parallel,
+// concatenates into one malloc'd block (rows of 5 int64), fills n_out and
+// returns the block (caller frees with bwamem_free).
+int64_t* bwamem_collect_intv_batch_alloc(
+    const int64_t* ckpt, const uint32_t* words, const int64_t* L2,
+    const int64_t* sa, int64_t primary, int64_t seq_len, int64_t sa_intv,
+    int64_t n_reads, const uint8_t* rbuf, const int64_t* roff,
+    const int32_t* rlen, int min_seed_len, int split_len, int split_width,
+    int64_t max_mem_intv, int64_t* n_out) {
+  FM fm{ckpt, words, L2, sa, primary, seq_len, sa_intv};
+  std::vector<std::vector<Intv>> all(n_reads);
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t i = 0; i < n_reads; ++i) {
+    collect_intv_one(fm, rbuf + roff[i], rlen[i], min_seed_len, split_len,
+                     split_width, max_mem_intv, all[i]);
+    n_out[i] = (int64_t)all[i].size();
+  }
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_reads; ++i) total += n_out[i];
+  int64_t* buf = (int64_t*)malloc(std::max<int64_t>(total, 1) * 5 * 8);
+  if (!buf) return nullptr;
+  int64_t* row = buf;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    for (const Intv& m : all[i]) {
+      row[0] = m.x0;
+      row[1] = m.x1;
+      row[2] = m.s;
+      row[3] = m.info >> 32;
+      row[4] = m.info & 0xFFFFFFFFll;
+      row += 5;
+    }
+  }
+  return buf;
+}
+
+void bwamem_free(void* p) { free(p); }
+
 void bwamem_sa_batch(const int64_t* ckpt, const uint32_t* words,
                      const int64_t* L2, const int64_t* sa, int64_t primary,
                      int64_t seq_len, int64_t sa_intv, int64_t n,

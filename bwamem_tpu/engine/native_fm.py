@@ -60,6 +60,16 @@ def _ensure_built() -> bool:
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, _I64P, _I64P,
             ]
+            lib.bwamem_collect_intv_batch_alloc.restype = ctypes.c_void_p
+            lib.bwamem_collect_intv_batch_alloc.argtypes = [
+                _I64P, _U32P, _I64P, _I64P,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _U8P, _I64P, _I32P,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+                _I64P,
+            ]
+            lib.bwamem_free.restype = None
+            lib.bwamem_free.argtypes = [ctypes.c_void_p]
             _lib = lib
             return True
         except (OSError, subprocess.CalledProcessError):
@@ -68,6 +78,13 @@ def _ensure_built() -> bool:
 
 
 def available() -> bool:
+    """Native path availability.
+
+    BWAMEM_TPU_DISABLE_NATIVE=1 forces the pure-Python engine — the analog
+    of the reference's LIBBWA_PATH native-library override
+    (BwaMemIndex.java:438-441), pointed at "no native code"."""
+    if os.environ.get("BWAMEM_TPU_DISABLE_NATIVE") == "1":
+        return False
     return _ensure_built()
 
 
@@ -121,29 +138,29 @@ def collect_intv_batch(opt, fm, reads: List[np.ndarray]) -> List[List[SmemIntv]]
         rbuf[roff[i] : roff[i] + rlen[i]] = r
     n_out = np.zeros(n, dtype=np.int64)
     base = arr.ptrs()
-    args = (
+    buf_ptr = _lib.bwamem_collect_intv_batch_alloc(
         *base, n,
         rbuf.ctypes.data_as(_U8P), roff.ctypes.data_as(_I64P),
         rlen.ctypes.data_as(_I32P),
         opt.min_seed_len, opt.split_len, opt.split_width, opt.max_mem_intv,
         n_out.ctypes.data_as(_I64P),
     )
-    # pass 1: counts
-    _lib.bwamem_collect_intv_batch(*args, None, None)
-    out_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(n_out[:-1], out=out_off[1:])
-    total = int(n_out.sum())
-    out = np.empty((max(total, 1), 5), dtype=np.int64)
-    # pass 2: fill
-    _lib.bwamem_collect_intv_batch(
-        *args, out_off.ctypes.data_as(_I64P), out.ctypes.data_as(_I64P)
-    )
-    res: List[List[SmemIntv]] = []
-    for i in range(n):
-        rows = out[out_off[i] : out_off[i] + n_out[i]]
-        res.append(
-            [SmemIntv(int(a), int(b), int(c), int(d), int(e)) for a, b, c, d, e in rows.tolist()]
+    if not buf_ptr:
+        raise MemoryError("native seeding allocation failed")
+    try:
+        total = int(n_out.sum())
+        flat = np.ctypeslib.as_array(
+            ctypes.cast(buf_ptr, _I64P), shape=(max(total, 1), 5)
         )
+        rows_all = flat[:total].tolist()
+    finally:
+        _lib.bwamem_free(buf_ptr)
+    res: List[List[SmemIntv]] = []
+    pos = 0
+    for i in range(n):
+        cnt = int(n_out[i])
+        res.append([SmemIntv(*row) for row in rows_all[pos : pos + cnt]])
+        pos += cnt
     return res
 
 

@@ -61,6 +61,13 @@ def _ensure_built() -> bool:
 
 
 def available() -> bool:
+    """Native path availability.
+
+    BWAMEM_TPU_DISABLE_NATIVE=1 forces the pure-Python engine — the analog
+    of the reference's LIBBWA_PATH native-library override
+    (BwaMemIndex.java:438-441), pointed at "no native code"."""
+    if os.environ.get("BWAMEM_TPU_DISABLE_NATIVE") == "1":
+        return False
     return _ensure_built()
 
 

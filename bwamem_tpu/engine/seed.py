@@ -17,7 +17,7 @@ This is the host oracle; the batched TPU path mirrors it in ops/.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List
+from typing import List, NamedTuple
 
 import numpy as np
 
@@ -25,8 +25,7 @@ from ..api.options import MemOptions
 from .fmindex import FMIndex
 
 
-@dataclass
-class SmemIntv:
+class SmemIntv(NamedTuple):
     """Bi-interval + query span ([EXT] bwtintv_t; info = qb<<32|qe)."""
 
     x0: int

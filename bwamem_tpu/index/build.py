@@ -130,6 +130,10 @@ class BwaIndex:
     pac: np.ndarray  # uint8, ceil(l_pac/4) packed forward bases
     bwt: BwtIndex
 
+    # references up to this size keep an unpacked uint8 cache for O(slice)
+    # get_seq (1 byte/base; 256 Mbp -> 256 MB)
+    _UNPACK_CACHE_MAX = 256_000_000
+
     def get_seq(self, beg: int, end: int) -> np.ndarray:
         """Fetch codes for [beg, end) on the doubled 2*l_pac domain.
 
@@ -148,6 +152,12 @@ class BwaIndex:
         return self._fwd_codes(beg, end)
 
     def _fwd_codes(self, beg: int, end: int) -> np.ndarray:
+        cache = getattr(self, "_unpacked", None)
+        if cache is None and self.bns.l_pac <= self._UNPACK_CACHE_MAX:
+            cache = unpack_2bit(np.asarray(self.pac), self.bns.l_pac)
+            object.__setattr__(self, "_unpacked", cache)
+        if cache is not None:
+            return cache[beg:end]
         byte_beg = beg >> 2
         byte_end = (end + 3) >> 2
         codes = unpack_2bit(self.pac[byte_beg:byte_end], (byte_end << 2) - (byte_beg << 2))
