@@ -145,36 +145,51 @@ class BwaMemAligner:
     ) -> List[List[BwaMemAlignment]]:
         """Align a batch; one result list per input sequence
         (BwaMemAligner.alignSeqs, :181-311)."""
+        raw = self.align_seqs_raw([func(s) for s in sequences])
+        return [[_aln_to_record(p, m) for p, m in per_read] for per_read in raw]
+
+    def align_seqs_raw(self, sequences: List[bytes]):
+        """Align; returns per read a list of (Aln, mate Aln|None) engine
+        records — the substrate for both the object API and the binary wire
+        codec (api/wire.py)."""
         if not self._open:
             raise RuntimeError("The aligner has been closed.")
         opt = self.options
         self._index.ref_index()
         try:
             eng = self._index._require()
-            reads = [seq_to_codes(func(s)) for s in sequences]
+            reads = [seq_to_codes(s) for s in sequences]
             if opt.flag & MEM_F_PE:
                 return self._align_pe(eng, opt, reads)
             return self._align_se(eng, opt, reads)
         finally:
             self._index.de_ref_index()
 
-    def _align_se(self, eng, opt, reads) -> List[List[BwaMemAlignment]]:
+    def align_seqs_packed(self, seqs_buf: bytes) -> bytes:
+        """Binary in, binary out: the reference's createAlignments contract
+        ([int32 n][seq NUL]* -> fmt_BAMish record stream; SURVEY.md 2.4)."""
+        from . import wire
+
+        raw = self.align_seqs_raw(wire.decode_seqs(seqs_buf))
+        return wire.encode_alignments(raw)
+
+    def _align_se(self, eng, opt, reads):
         out = []
         regs_all = align_regs_batch(opt, eng, reads)
         for i, (read, regs) in enumerate(zip(reads, regs_all)):
             mark_primary_se(opt, regs, i)
             alns = reg2sam_records(opt, eng, read, regs)
-            out.append([_aln_to_record(a, None) for a in alns])
+            out.append([(a, None) for a in alns])
         return out
 
-    def _align_pe(self, eng, opt, reads) -> List[List[BwaMemAlignment]]:
+    def _align_pe(self, eng, opt, reads):
         if len(reads) % 2:
             raise InvalidInputException(
                 "paired alignment requires an even number of sequences"
             )
         regs = align_regs_batch(opt, eng, reads)
         pes = self._resolve_pes(opt, eng, regs)
-        out: List[List[BwaMemAlignment]] = []
+        out = []
         for i in range(len(reads) // 2):
             r2 = [regs[2 * i], regs[2 * i + 1]]
             alns0, alns1 = pair_mod.sam_pe(
@@ -182,8 +197,8 @@ class BwaMemAligner:
             )
             m0 = alns0[0] if alns0 else None
             m1 = alns1[0] if alns1 else None
-            out.append([_aln_to_record(a, m1) for a in alns0])
-            out.append([_aln_to_record(a, m0) for a in alns1])
+            out.append([(a, m1) for a in alns0])
+            out.append([(a, m0) for a in alns1])
         return out
 
     def _resolve_pes(self, opt, eng, regs) -> List[pair_mod.PeStat]:
