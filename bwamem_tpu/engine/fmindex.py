@@ -46,22 +46,31 @@ class FMIndex:
         self.sa = bwt.sa
         n_blocks = (self.seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
         self.n_blocks = n_blocks
-        # de-interleave the bwa layout into two flat arrays:
+        # de-interleave the bwa layout into two flat arrays (vectorized):
         #   ckpt[b, c]  counts of c in stored bwt before block b (plus final row)
         #   words[b, w] 8 packed uint32 words (16 chars each) per block
         data = np.asarray(bwt.bwt, dtype=np.uint32)
         ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
         words = np.zeros((n_blocks, 8), dtype=np.uint32)
-        pos = 0
-        for b in range(n_blocks):
-            ckpt[b] = data[pos : pos + 8].view(np.uint64).astype(np.int64)
-            pos += 8
-            beg = b * OCC_INTERVAL
-            end = min(beg + OCC_INTERVAL, self.seq_len)
-            n_words = (end - beg + 15) // 16
-            words[b, :n_words] = data[pos : pos + n_words]
-            pos += n_words
-        ckpt[n_blocks] = data[pos : pos + 8].view(np.uint64).astype(np.int64)
+        words_per_block = np.full(n_blocks, 8, dtype=np.int64)
+        last_chars = self.seq_len - (n_blocks - 1) * OCC_INTERVAL
+        words_per_block[-1] = (last_chars + 15) // 16
+        block_starts = np.zeros(n_blocks, dtype=np.int64)
+        np.cumsum(8 + words_per_block[:-1], out=block_starts[1:])
+        cidx = (block_starts[:, None] + np.arange(8)[None, :]).reshape(-1)
+        ckpt[:n_blocks] = (
+            data[cidx].reshape(n_blocks, 8).view(np.uint64).astype(np.int64)
+        )
+        final_pos = int(block_starts[-1]) + 8 + int(words_per_block[-1])
+        ckpt[n_blocks] = (
+            data[final_pos : final_pos + 8].view(np.uint64).astype(np.int64)
+        )
+        if n_blocks > 1:
+            didx = ((block_starts[:-1, None] + 8) + np.arange(8)[None, :]).reshape(-1)
+            words[: n_blocks - 1] = data[didx].reshape(n_blocks - 1, 8)
+        lw = int(words_per_block[-1])
+        lb = int(block_starts[-1]) + 8
+        words[n_blocks - 1, :lw] = data[lb : lb + lw]
         self.ckpt = ckpt
         self.words = words
         # 4-bit "pattern" per symbol for xor-matching in packed words

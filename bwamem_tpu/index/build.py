@@ -184,7 +184,7 @@ class _Lrand48:
 
 
 def interleave_bwt(bwt_codes: np.ndarray) -> np.ndarray:
-    """Pack stored-BWT codes into bwa's interleaved .bwt body.
+    """Pack stored-BWT codes into bwa's interleaved .bwt body (vectorized).
 
     Per 128-base block: 4 x int64 cumulative counts (of stored chars before
     the block), then 8 x uint32 of 2-bit packed chars (16/word, MSB-first
@@ -192,26 +192,45 @@ def interleave_bwt(bwt_codes: np.ndarray) -> np.ndarray:
     """
     n = len(bwt_codes)
     n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
-    out = []
-    counts = np.zeros(4, dtype=np.int64)
-    # pack all codes into uint32 words once
     padded = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint32)
     padded[:n] = bwt_codes
     shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
     words_all = (padded.reshape(-1, 16) << shifts).astype(np.uint32).sum(
         axis=1, dtype=np.uint32
     )
-    for b in range(n_blocks):
-        out.append(counts.view(np.uint32).copy())
-        beg = b * OCC_INTERVAL
-        end = min(beg + OCC_INTERVAL, n)
-        block = bwt_codes[beg:end]
-        counts = counts + np.bincount(block, minlength=4).astype(np.int64)
-        w_beg = b * 8
-        w_end = w_beg + (end - beg + 15) // 16
-        out.append(words_all[w_beg:w_end])
-    out.append(counts.view(np.uint32).copy())
-    return np.concatenate(out)
+    # per-block symbol counts -> exclusive cumulative checkpoints
+    blocks = padded.reshape(n_blocks, OCC_INTERVAL)
+    # mask the padding tail of the last block out of the counts
+    if n % OCC_INTERVAL:
+        blocks = blocks.copy()
+        blocks[-1, n % OCC_INTERVAL :] = 255
+    per_block = np.stack(
+        [(blocks == c).sum(axis=1, dtype=np.int64) for c in range(4)], axis=1
+    )  # [nb, 4]
+    ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
+    np.cumsum(per_block, axis=0, out=ckpt[1:])
+    # assemble: per full block 8 ckpt words + 8 data words; last block may
+    # carry fewer data words; final checkpoint appended
+    words_per_block = np.full(n_blocks, 8, dtype=np.int64)
+    last_chars = n - (n_blocks - 1) * OCC_INTERVAL
+    words_per_block[-1] = (last_chars + 15) // 16
+    total = int(8 * n_blocks + words_per_block.sum() + 8)
+    out = np.empty(total, dtype=np.uint32)
+    block_starts = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(8 + words_per_block[:-1], out=block_starts[1:])
+    ck32 = ckpt.view(np.uint32).reshape(n_blocks + 1, 8)
+    # checkpoint words
+    idx = block_starts[:, None] + np.arange(8)[None, :]
+    out[idx.reshape(-1)] = ck32[:n_blocks].reshape(-1)
+    # data words (full blocks vectorized; last block separately)
+    if n_blocks > 1:
+        didx = (block_starts[:-1, None] + 8) + np.arange(8)[None, :]
+        out[didx.reshape(-1)] = words_all[: 8 * (n_blocks - 1)]
+    lb = int(block_starts[-1]) + 8
+    lw = int(words_per_block[-1])
+    out[lb : lb + lw] = words_all[8 * (n_blocks - 1) : 8 * (n_blocks - 1) + lw]
+    out[lb + lw : lb + lw + 8] = ck32[n_blocks]
+    return out
 
 
 def deinterleave_bwt(data: np.ndarray, seq_len: int) -> np.ndarray:
