@@ -15,6 +15,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -339,6 +342,15 @@ int64_t* bwamem_collect_intv_batch_alloc(
 }
 
 void bwamem_free(void* p) { free(p); }
+
+// Worker-thread control: the native analog of the reference's n_threads
+// option (offset 92, BwaMemAligner.java:102-103 -> kt_for pool size).
+// Applies to every OpenMP-parallel native stage in this process.
+void bwamem_set_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+#endif
+}
 
 void bwamem_sa_batch(const int64_t* ckpt, const uint32_t* words,
                      const int64_t* L2, const int64_t* sa, int64_t primary,

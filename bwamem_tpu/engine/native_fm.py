@@ -70,6 +70,8 @@ def _ensure_built() -> bool:
             ]
             lib.bwamem_free.restype = None
             lib.bwamem_free.argtypes = [ctypes.c_void_p]
+            lib.bwamem_set_threads.restype = None
+            lib.bwamem_set_threads.argtypes = [ctypes.c_int]
             _lib = lib
             return True
         except (OSError, subprocess.CalledProcessError):
@@ -120,10 +122,21 @@ def get_arrays(fm) -> _FmArrays:
     return cached
 
 
+def set_threads(n: int) -> None:
+    """Cap OpenMP worker threads ([EXT] n_threads/kt_for analog).
+
+    n > 1 applies an explicit cap; n <= 1 keeps the OpenMP default (all
+    cores) — the reference's default of 1 reflects its CLI-era tuning and
+    callers like GATK always raise it."""
+    if n > 1 and _ensure_built():
+        _lib.bwamem_set_threads(int(n))
+
+
 def collect_intv_batch(opt, fm, reads: List[np.ndarray]) -> List[List[SmemIntv]]:
     """Native three-round seeding for a batch of reads."""
     if not _ensure_built():
         raise RuntimeError("native fmindex unavailable")
+    set_threads(getattr(opt, "n_threads", 0))
     arr = get_arrays(fm)
     n = len(reads)
     roff = np.zeros(n, dtype=np.int64)
