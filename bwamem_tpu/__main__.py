@@ -32,7 +32,7 @@ def cmd_mem(args) -> int:
     from .api.index import BwaMemIndex
     from .api.sam import aln2sam, sam_header
     from .api.pestats import BwaMemPairEndStats
-    from .engine.pipeline import Engine, align_regs_batch, reg2sam_records
+    from .engine.pipeline import align_regs_batch, reg2sam_records
     from .engine.finalize import mark_primary_se
     from .engine import pair as pair_mod
     from .utils.encoding import seq_to_codes

@@ -11,7 +11,7 @@ tlen rule (jnibwa.c:79-96).
 """
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Optional, Sequence, TypeVar
+from typing import Callable, Iterable, List, Optional, TypeVar
 
 import numpy as np
 

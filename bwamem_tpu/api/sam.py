@@ -8,7 +8,7 @@ NM/MD/AS/XS/XA tag block, byte-compatible with bwa mem 0.7.x output.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

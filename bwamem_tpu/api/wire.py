@@ -15,7 +15,7 @@ All little-endian (native order on every supported platform).
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 from ..engine.finalize import Aln
 from .alignment import BwaMemAlignment

@@ -12,7 +12,7 @@ Identical output to the per-read path (tests/test_extend_batch.py).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..api.options import MEM_F_ALL, MEM_F_NO_MULTI, MemOptions
+from ..api.options import MemOptions
 from .extend import AlnReg, ksw_global2
 
 MEM_MAPQ_COEF = 30.0

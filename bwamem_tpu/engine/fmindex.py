@@ -15,8 +15,6 @@ indices are k - (k >= primary).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from ..index.build import OCC_INTERVAL, BwaIndex

@@ -10,16 +10,11 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..api.options import (
-    MEM_F_ALL,
-    MEM_F_NO_MULTI,
-    MEM_F_SOFTCLIP,
-    MemOptions,
-)
+from ..api.options import MEM_F_ALL, MEM_F_NO_MULTI, MemOptions
 from .chain import chain_flt, mem_chain
 from .extend import AlnReg, chain2aln
 from .fmindex import FMIndex
-from .finalize import Aln, approx_mapq_se, mark_primary_se, reg2aln, sort_dedup_patch
+from .finalize import Aln, mark_primary_se, reg2aln, sort_dedup_patch
 from .seed import collect_intv
 
 

@@ -16,7 +16,6 @@ This is the host oracle; the batched TPU path mirrors it in ops/.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import List, NamedTuple
 
 import numpy as np

@@ -19,7 +19,7 @@ files exactly like ``BwaMemIndex.createIndexImageFromIndexFiles``
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -8,7 +8,6 @@ either replicates per device (GRCh38-class) or shards its occ tables over
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
