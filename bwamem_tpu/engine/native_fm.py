@@ -132,8 +132,11 @@ def set_threads(n: int) -> None:
         _lib.bwamem_set_threads(int(n))
 
 
-def collect_intv_batch(opt, fm, reads: List[np.ndarray]) -> List[List[SmemIntv]]:
-    """Native three-round seeding for a batch of reads."""
+def collect_intv_batch_raw(opt, fm, reads: List[np.ndarray]):
+    """Native three-round seeding; returns (rows [N,5] int64, n_out [n]).
+
+    Row layout (x0, x1, s, qb, qe); rows grouped per read in order.  The
+    array form feeds the native chaining stage without object churn."""
     if not _ensure_built():
         raise RuntimeError("native fmindex unavailable")
     set_threads(getattr(opt, "n_threads", 0))
@@ -165,12 +168,19 @@ def collect_intv_batch(opt, fm, reads: List[np.ndarray]) -> List[List[SmemIntv]]
         flat = np.ctypeslib.as_array(
             ctypes.cast(buf_ptr, _I64P), shape=(max(total, 1), 5)
         )
-        rows_all = flat[:total].tolist()
+        rows = flat[:total].copy()
     finally:
         _lib.bwamem_free(buf_ptr)
+    return rows, n_out
+
+
+def collect_intv_batch(opt, fm, reads: List[np.ndarray]) -> List[List[SmemIntv]]:
+    """Native three-round seeding for a batch of reads (object form)."""
+    rows, n_out = collect_intv_batch_raw(opt, fm, reads)
+    rows_all = rows.tolist()
     res: List[List[SmemIntv]] = []
     pos = 0
-    for i in range(n):
+    for i in range(len(reads)):
         cnt = int(n_out[i])
         res.append([SmemIntv(*row) for row in rows_all[pos : pos + cnt]])
         pos += cnt

@@ -76,6 +76,10 @@ def align_regs_batch(
         # device kernel via BWAMEM_TPU_DEVICE_EXTEND); False forces the
         # sequential per-read oracle path (used by equivalence tests)
         use_device_extension = True
+    from . import native_chain
+
+    if native_fm.available() and native_chain.available() and use_device_extension:
+        return _align_regs_batch_native(opt, eng, reads, TIMERS)
     with TIMERS.stage("seed"):
         if native_fm.available():
             intervals_list = native_fm.collect_intv_batch(opt, eng.fm, reads)
@@ -124,6 +128,71 @@ def align_regs_batch(
             chains = chain_flt(opt, chains)
             flt_chained_seeds(opt, eng.idx, len(query), query, chains)
             chains_list.append(chains)
+    with TIMERS.stage("extend"):
+        regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
+    with TIMERS.stage("dedup"):
+        return [
+            sort_dedup_patch(opt, eng.idx, query, regs)
+            for query, regs in zip(reads, regs_list)
+        ]
+
+
+def _align_regs_batch_native(opt, eng, reads, TIMERS):
+    """Array-based fast path: native seeding -> vectorized interval sampling
+    -> native SA walks -> native chaining, no per-interval Python objects."""
+    from . import native_chain, native_fm
+    from .chain import flt_chained_seeds
+    from .extend_batch import chain2aln_batch
+
+    with TIMERS.stage("seed"):
+        rows, n_intv = native_fm.collect_intv_batch_raw(opt, eng.fm, reads)
+    with TIMERS.stage("sa_lookup"):
+        # vectorized sample_ks over all intervals of all reads
+        s = rows[:, 2]
+        x0 = rows[:, 0]
+        cnt = np.minimum(s, opt.max_occ)
+        step = np.where(s > opt.max_occ, s // np.maximum(opt.max_occ, 1), 1)
+        rbeg_off = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=rbeg_off[1:])
+        total = int(cnt.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(rbeg_off, cnt)
+        ks_flat = np.repeat(x0, cnt) + np.repeat(step, cnt) * within
+        rbegs = (
+            native_fm.sa_batch(eng.fm, ks_flat)
+            if total
+            else np.zeros(0, dtype=np.int64)
+        )
+    intv_off = np.zeros(len(reads), dtype=np.int64)
+    np.cumsum(n_intv[:-1], out=intv_off[1:])
+    # the fused chain+extend core applies when no read is long enough to
+    # trigger mem_flt_chained_seeds and the reference fits the unpacked cache
+    from . import native_core
+
+    max_qlen = max((len(r) for r in reads), default=0)
+    fused = (
+        native_core.available()
+        and max_qlen < 500
+        and eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
+    )
+    if fused:
+        with TIMERS.stage("chain+extend"):
+            regs_list = native_core.align_regs_batch_core(
+                opt, eng.idx, reads, rows, intv_off, n_intv, rbegs,
+                rbeg_off, cnt.astype(np.int64),
+            )
+        with TIMERS.stage("dedup"):
+            return [
+                sort_dedup_patch(opt, eng.idx, query, regs)
+                for query, regs in zip(reads, regs_list)
+            ]
+    with TIMERS.stage("chain"):
+        qlens = np.asarray([len(r) for r in reads], dtype=np.int32)
+        chains_list = native_chain.chain_batch(
+            opt, eng.idx.bns, qlens, rows, intv_off, n_intv, rbegs,
+            rbeg_off, cnt.astype(np.int64),
+        )
+        for query, chains in zip(reads, chains_list):
+            flt_chained_seeds(opt, eng.idx, len(query), query, chains)
     with TIMERS.stage("extend"):
         regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
     with TIMERS.stage("dedup"):

@@ -80,6 +80,9 @@ def test_stage_timers_populated():
     fwd = eng.idx.get_seq(0, eng.idx.bns.l_pac)
     align_regs_batch(MemOptions(), eng, [fwd[0:70].copy(), fwd[100:170].copy()])
     snap = TIMERS.snapshot()
-    for stage in ("seed", "sa_lookup", "chain", "extend", "dedup"):
+    for stage in ("seed", "sa_lookup", "dedup"):
         assert stage in snap
+    # fused native core reports chain+extend as one stage; staged paths
+    # report them separately
+    assert ("chain+extend" in snap) or ("chain" in snap and "extend" in snap)
     assert "seed" in TIMERS.report()
