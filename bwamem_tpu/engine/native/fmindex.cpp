@@ -66,6 +66,61 @@ inline void occ4(const FM& fm, int64_t k, int64_t cnt[4]) {
   cnt[3] = base[3] + c3;
 }
 
+// paired rank query ([EXT] bwt_2occ4): when both positions fall in the same
+// 128-char block (the common case for small intervals during extension),
+// share the checkpoint row + word gathers and count both prefixes in one
+// pass — bwa's key memory-traffic optimization.
+inline void occ4_pair(const FM& fm, int64_t k, int64_t l, int64_t ck[4],
+                      int64_t cl[4]) {
+  if (k == fm.seq_len || k == -1 || l == fm.seq_len || l == -1) {
+    occ4(fm, k, ck);
+    occ4(fm, l, cl);
+    return;
+  }
+  int64_t kk = k - (k >= fm.primary);
+  int64_t ll = l - (l >= fm.primary);
+  if ((kk >> 7) != (ll >> 7)) {
+    occ4(fm, k, ck);
+    occ4(fm, l, cl);
+    return;
+  }
+  int64_t block = kk >> 7;
+  int wk = (int)(kk & 127) + 1;  // k's inclusive char count (k <= l here)
+  int wl = (int)(ll & 127) + 1;
+  const int64_t* base = fm.ckpt + block * 4;
+  const uint32_t* w = fm.words + block * 8;
+  int64_t a[4] = {0, 0, 0, 0}, bcnt[4] = {0, 0, 0, 0};
+  int rk = wk, rl = wl;
+  for (int wi = 0; wi < 8 && rl > 0; ++wi, rk -= 16, rl -= 16) {
+    uint32_t hi = (w[wi] >> 1) & 0x55555555u;
+    uint32_t lo = w[wi] & 0x55555555u;
+    uint32_t nhi = ~hi & 0x55555555u, nlo = ~lo & 0x55555555u;
+    uint32_t m0 = nhi & nlo, m1 = nhi & lo, m2 = hi & nlo, m3 = hi & lo;
+    int vl = rl < 16 ? rl : 16;
+    uint32_t keepl =
+        vl == 16 ? 0x55555555u
+                 : (uint32_t)(0xFFFFFFFFu << (32 - 2 * vl)) & 0x55555555u;
+    bcnt[0] += popcount32(m0 & keepl);
+    bcnt[1] += popcount32(m1 & keepl);
+    bcnt[2] += popcount32(m2 & keepl);
+    bcnt[3] += popcount32(m3 & keepl);
+    if (rk > 0) {
+      int vk = rk < 16 ? rk : 16;
+      uint32_t keepk =
+          vk == 16 ? 0x55555555u
+                   : (uint32_t)(0xFFFFFFFFu << (32 - 2 * vk)) & 0x55555555u;
+      a[0] += popcount32(m0 & keepk);
+      a[1] += popcount32(m1 & keepk);
+      a[2] += popcount32(m2 & keepk);
+      a[3] += popcount32(m3 & keepk);
+    }
+  }
+  for (int c = 0; c < 4; ++c) {
+    ck[c] = base[c] + a[c];
+    cl[c] = base[c] + bcnt[c];
+  }
+}
+
 struct Intv {
   int64_t x0, x1, s;
   int64_t info;  // qb<<32 | qe
@@ -76,8 +131,7 @@ inline void bwt_extend(const FM& fm, const Intv& ik, Intv ok[4], bool is_back) {
   int64_t tk[4], tl[4];
   int64_t xq = is_back ? ik.x0 : ik.x1;
   int64_t xo = is_back ? ik.x1 : ik.x0;
-  occ4(fm, xq - 1, tk);
-  occ4(fm, xq - 1 + ik.s, tl);
+  occ4_pair(fm, xq - 1, xq - 1 + ik.s, tk, tl);
   int64_t sz[4], nq[4];
   for (int c = 0; c < 4; ++c) {
     nq[c] = fm.L2[c] + 1 + tk[c];
