@@ -56,6 +56,34 @@ def test_mem_f_all_emits_secondary_records(rep_index):
     assert primary[0].xa_tag is None  # MEM_F_ALL suppresses XA generation
 
 
+def test_pe_xa_on_repeat_end(rep_index):
+    """Pair-mode output carries XA for an end landing in the repeat
+    (mem_sam_pe's paired branch runs mem_gen_alt per end)."""
+    codes, idx = rep_index
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    r1 = bytes(bases[codes[2_050:2_200]])  # in the repeat
+    m = codes[2_350:2_500]  # unique mate, proper FR distance
+    r2 = bytes(bases[(3 - m)[::-1]])
+    aligner = BwaMemAligner(idx)
+    aligner.align_pairs()
+    from bwamem_tpu import BwaMemPairEndStats
+
+    aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(450, 45))
+    recs = aligner.align_seqs([r1, r2])
+    a1, a2 = recs[0][0], recs[1][0]
+    assert a1.sam_flag & 0x2 and a2.sam_flag & 0x2  # paired properly
+    # pairing anchors the repeat end to the locus near its mate, overriding
+    # the hash-chosen SE primary (which here is the 12050 copy) — so the
+    # emitted record is the ex-secondary: its mapq is pair-capped and, per
+    # bwa's faithful quirk, the XA string stays attached to the ex-primary's
+    # index and is not emitted
+    assert a1.ref_start == 2_050
+    assert a1.map_qual == 40  # raw_mapq-capped paired confidence
+    assert a2.map_qual == 60
+    assert a2.xa_tag is None
+    assert a1.template_len == 450 and a2.template_len == -450
+
+
 def test_unique_read_keeps_high_mapq(rep_index):
     codes, idx = rep_index
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
