@@ -1,0 +1,81 @@
+"""TPU kernel micro-benchmarks (single process; run alone on the chip).
+
+Measured on this rig's TPU v5e (2026-08): extend scan ~52ms/2048 jobs,
+extend pallas 0.2-1.8ms/256-2048 jobs (4-10x per call); a freshly killed
+TPU process poisons the chip grant for ~5 minutes - run only on a quiet
+chip.
+
+Reports per-kernel throughput for the two hot ops (SURVEY.md section 3.3):
+banded-SW extension (Pallas VMEM kernel vs XLA scan) and batched occ4 rank
+queries.  Every timing blocks per iteration — unblocked dispatch through
+this rig's relay reports nonsense.
+
+    python benchmarks/kernel_bench.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, n=3):
+    import jax
+
+    jax.block_until_ready(fn())  # warm/compile
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        jax.block_until_ready(fn())
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bwamem_tpu.api.options import MemOptions
+    from bwamem_tpu.engine.fmindex import FMIndex
+    from bwamem_tpu.index.build import build_index
+    from bwamem_tpu.ops.extend_pallas import ksw_extend_pallas
+    from bwamem_tpu.ops.extend_tpu import ksw_extend_batch
+    from bwamem_tpu.ops.fmindex_tpu import DeviceFMIndex, occ4
+    from bwamem_tpu.utils.fasta import Fasta, FastaContig
+
+    print("devices:", jax.devices(), flush=True)
+    opt = MemOptions()
+    mat5 = jnp.asarray(np.asarray(opt.mat, dtype=np.int32).reshape(5, 5))
+    kw = dict(o_del=6, e_del=1, o_ins=6, e_ins=1, zdrop=100, max_sc=1)
+    rng = np.random.default_rng(0)
+
+    for B, Q, T in [(2048, 128, 256)]:
+        qa = jnp.asarray(rng.integers(0, 4, (B, Q)), dtype=jnp.int32)
+        ta = jnp.asarray(rng.integers(0, 4, (B, T)), dtype=jnp.int32)
+        args = (
+            qa, ta, jnp.full(B, Q, jnp.int32), jnp.full(B, T, jnp.int32),
+            jnp.full(B, 30, jnp.int32), jnp.full(B, 100, jnp.int32),
+            jnp.full(B, 5, jnp.int32), mat5,
+        )
+        cells = B * Q * T
+        dt = timeit(lambda: ksw_extend_batch(*args, **kw))
+        print(f"extend scan   B={B}: {dt*1e3:7.1f}ms {cells/dt/1e9:7.2f} GCUPS", flush=True)
+        dt = timeit(lambda: ksw_extend_pallas(*args, **kw, b_tile=512))
+        print(f"extend pallas B={B}: {dt*1e3:7.1f}ms {cells/dt/1e9:7.2f} GCUPS", flush=True)
+
+    # occ4 batched rank queries over a 1 Mbp index
+    codes = rng.integers(0, 4, 1_000_000).astype(np.uint8)
+    fm = FMIndex(build_index(Fasta([FastaContig("c", "", codes)])))
+    dfm = DeviceFMIndex.from_host(fm)
+    for NQ in (1 << 14, 1 << 17):
+        ks = jnp.asarray(
+            rng.integers(0, fm.seq_len, NQ).astype(np.int32)
+        )
+        dt = timeit(lambda: occ4(dfm, ks))
+        print(f"occ4 N={NQ}: {dt*1e3:7.2f}ms {NQ/dt/1e6:7.1f} Mquery/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
