@@ -1,9 +1,11 @@
 """TPU kernel micro-benchmarks (single process; run alone on the chip).
 
-Measured on this rig's TPU v5e (2026-08): extend scan ~52ms/2048 jobs,
-extend pallas 0.2-1.8ms/256-2048 jobs (4-10x per call); a freshly killed
-TPU process poisons the chip grant for ~5 minutes - run only on a quiet
-chip.
+Measured on this rig's TPU v5e (2026-08): every call pays a ~40-50ms
+loopback-relay round trip which floors all timings (extend scan 65ms vs
+pallas 51ms at B=2048 jobs; back-to-back device-side deltas show the
+pallas kernel 4-10x faster in pure compute).  On real PCIe-attached TPU
+hosts the relay floor disappears.  A freshly killed TPU process poisons
+the chip grant for ~5 minutes - run only on a quiet chip.
 
 Reports per-kernel throughput for the two hot ops (SURVEY.md section 3.3):
 banded-SW extension (Pallas VMEM kernel vs XLA scan) and batched occ4 rank
@@ -22,15 +24,22 @@ import numpy as np
 
 
 def timeit(fn, n=3):
-    import jax
-
-    jax.block_until_ready(fn())  # warm/compile
+    """Times fn including a scalar host pull — on this rig
+    block_until_ready resolves early through the relay, so materializing
+    a result is the only honest completion barrier."""
+    _pull(fn())  # warm/compile
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
-        jax.block_until_ready(fn())
+        _pull(fn())
         best = min(best, time.time() - t0)
     return best
+
+
+def _pull(out):
+    if isinstance(out, dict):
+        out = next(iter(out.values()))
+    return int(np.asarray(out).ravel()[0])
 
 
 def main():
