@@ -89,10 +89,12 @@ def cmd_mem(args) -> int:
                 m1 = alns1[0] if alns1 else None
                 for w, a in enumerate(alns0):
                     out.write(aln2sam(opt, eng.idx.bns.anns, r1.name,
-                                      codes[2 * i], r1.qual, a, w, m1) + "\n")
+                                      codes[2 * i], r1.qual, a, w, m1,
+                                      records=alns0) + "\n")
                 for w, a in enumerate(alns1):
                     out.write(aln2sam(opt, eng.idx.bns.anns, r2.name,
-                                      codes[2 * i + 1], r2.qual, a, w, m0) + "\n")
+                                      codes[2 * i + 1], r2.qual, a, w, m0,
+                                      records=alns1) + "\n")
             n_done += len(reads)
             print(f"[bwamem_tpu] processed {n_done} reads", file=sys.stderr)
     else:
@@ -110,7 +112,7 @@ def cmd_mem(args) -> int:
                 for w, a in enumerate(alns):
                     out.write(
                         aln2sam(opt, eng.idx.bns.anns, r.name, codes[i],
-                                r.qual, a, w) + "\n"
+                                r.qual, a, w, records=alns) + "\n"
                     )
             n_done += len(batch)
             print(f"[bwamem_tpu] processed {n_done} reads", file=sys.stderr)

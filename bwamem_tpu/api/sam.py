@@ -39,8 +39,14 @@ def aln2sam(
     p_in: Aln,
     which: int,
     m_in: Optional[Aln] = None,
+    records: Optional[Sequence[Aln]] = None,
 ) -> str:
-    """One SAM line for alignment `p_in` of the read (mem_aln2sam)."""
+    """One SAM line for alignment `p_in` of the read (mem_aln2sam).
+
+    ``records`` is the read's full output list (mem_aln2sam's ``list``/``n``);
+    when given, the SA:Z tag is emitted for split/supplementary reporting
+    exactly like the reference engine ([EXT] bwamem.c mem_aln2sam).
+    """
     p = _copy(p_in)
     m = _copy(m_in) if m_in is not None else None
     l_seq = len(seq_codes)
@@ -122,6 +128,23 @@ def aln2sam(
         line += f"\tAS:i:{p.score}"
     if p.sub >= 0:
         line += f"\tXS:i:{max(p.sub, p.alt_sc)}"
+    if not (p_in.flag & 0x100):  # not a shadowed multi-hit
+        others = [
+            r
+            for i, r in enumerate(records or [])
+            if i != which and not (r.flag & 0x100) and r.rid >= 0 and r.cigar
+        ]
+        if others:  # other primary hits -> SA:Z (split-alignment chain)
+            sa = []
+            for r in others:
+                cig = "".join(f"{ln}{'MIDSH'[op]}" for op, ln in r.cigar)
+                sa.append(
+                    f"{contigs[r.rid].name},{r.pos + 1},{'+-'[r.is_rev]},"
+                    f"{cig},{r.mapq},{r.NM};"
+                )
+            line += "\tSA:Z:" + "".join(sa)
+        if p.alt_sc > 0:
+            line += f"\tpa:f:{p.score / p.alt_sc:.3f}"
     if p.XA:
         line += f"\tXA:Z:{p.XA}"
     return line

@@ -193,9 +193,11 @@ def _seed_sw(opt: MemOptions, idx, qlen: int, query: np.ndarray, s: Seed) -> int
             re = l_pac
         else:
             rb = l_pac
-    if qe - qb >= MEM_SHORT_LEN or re - rb >= MEM_SHORT_LEN:
+    # window guard is opt.w<<2, NOT MEM_SHORT_LEN ([EXT] mem_seed_sw: "the
+    # seed seems good enough; no need to do SW")
+    if qe - qb >= opt.w << 2 or re - rb >= opt.w << 2:
         return -1
-    rseq = idx.get_seq(rb, re)
+    rseq, rb, re, _rid = idx.fetch_seq(rb, mid, re)
     hit = sw_local(
         query[qb:qe], rseq, opt.mat, opt.o_del, opt.e_del, opt.o_ins,
         opt.e_ins, (qe - qb) * opt.a,

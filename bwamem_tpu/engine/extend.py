@@ -6,6 +6,10 @@ module is the exact-semantics host oracle — every comparison and tie-break
 mirrors the scalar definition of the SSE2 kernels, because CIGAR/score parity
 depends on them.  The TPU wavefront kernel (ops/extend_pallas.py) is
 validated cell-for-cell against this.
+
+Provenance: ksw_extend2's loop structure/trackers follow upstream bwa's
+ksw.c (MIT license, (c) 2011 by Attractive Chaos); parity with that exact
+routine is the spec (see LICENSES.md).
 """
 from __future__ import annotations
 

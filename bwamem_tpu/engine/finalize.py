@@ -156,28 +156,30 @@ def sort_dedup_patch(
             j -= 1
             if q.qe == q.qb:
                 continue  # excluded
-            o_r = q.re - p.rb  # ref overlap
+            o_r = q.re - p.rb  # ref overlap (may be <= 0 within max_chain_gap)
             o_q = (q.qe - p.qb) if q.qb < p.qb else (p.qe - q.qb)
-            if o_r > 0 and o_q > 0:
-                m_r = min(q.re - q.rb, p.re - p.rb)
-                m_q = min(q.qe - q.qb, p.qe - p.qb)
-                if o_r >= m_r * opt.mask_level_redun or o_q >= m_q * opt.mask_level_redun:
-                    if p.score < q.score:
-                        p.qe = p.qb
-                        break
-                    else:
-                        q.qe = q.qb
-                elif q.rb < p.rb and query is not None:
-                    score, w = _patch_reg(opt, idx, query, q, p)
-                    if score > 0:
-                        p.n_comp += q.n_comp + 1
-                        p.seedcov = max(p.seedcov, q.seedcov)
-                        p.sub = max(p.sub, q.sub)
-                        p.csub = max(p.csub, q.csub)
-                        p.qb, p.rb = q.qb, q.rb
-                        p.truesc = p.score = score
-                        p.w = w
-                        q.qe = q.qb
+            m_r = min(q.re - q.rb, p.re - p.rb)
+            m_q = min(q.qe - q.qb, p.qe - p.qb)
+            # redundancy needs overlap on BOTH axes, strictly above the
+            # mask_level_redun fraction ([EXT] mem_sort_dedup_patch); the
+            # patch branch also runs for non-overlapping colinear hits
+            if o_r > m_r * opt.mask_level_redun and o_q > m_q * opt.mask_level_redun:
+                if p.score < q.score:
+                    p.qe = p.qb
+                    break
+                else:
+                    q.qe = q.qb
+            elif q.rb < p.rb and query is not None:
+                score, w = _patch_reg(opt, idx, query, q, p)
+                if score > 0:
+                    p.n_comp += q.n_comp + 1
+                    p.seedcov = max(p.seedcov, q.seedcov)
+                    p.sub = max(p.sub, q.sub)
+                    p.csub = max(p.csub, q.csub)
+                    p.qb, p.rb = q.qb, q.rb
+                    p.truesc = p.score = score
+                    p.w = w
+                    q.qe = q.qb
     regs = [r for r in regs if r.qe > r.qb]
     # mem_ars: score desc, then rb asc, then qb asc
     regs.sort(key=lambda r: (-r.score, r.rb, r.qb))

@@ -1,5 +1,11 @@
 // Native batched banded-SW extension (host runtime hot path).
 //
+// Provenance: the inner extension loop re-expresses the scalar definition
+// of ksw_extend2 from Heng Li's bwa (ksw.c, MIT license, (c) 2011 by
+// Attractive Chaos <attractor@live.co.uk>); bit-exact parity with that
+// routine is a framework requirement (see LICENSES.md).  The batching,
+// OpenMP scheduling, and ABI around it are original to this project.
+//
 // Same exact semantics as engine/extend.py::ksw_extend2 (the validated
 // oracle for [EXT] ksw.c's ksw_extend2 behavior: adaptive window with
 // stale-cell semantics, Z-drop, M==0 reset, gscore tie-breaks).  This is

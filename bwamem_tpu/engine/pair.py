@@ -281,15 +281,13 @@ def matesw(
         re = min(re, l_pac << 1)
         if rb >= re:
             continue
-        # window must not straddle the strand boundary (bns_get_seq contract)
-        if (rb < l_pac) != (re <= l_pac):
-            if a.rb < l_pac:
-                re = min(re, l_pac)
-            else:
-                rb = max(rb, l_pac)
-            if rb >= re:
-                continue
-        ref = eng.idx.get_seq(rb, re)
+        # bns_fetch_seq clamps the window to the contig containing its
+        # midpoint; mem_matesw then skips the SW unless that contig is a's
+        # and the clamped window can still hold a seed ([EXT] bwamem_pair.c
+        # mem_matesw / bntseq.c bns_fetch_seq)
+        ref, rb, re, rid = eng.idx.fetch_seq(rb, (rb + re) >> 1, re)
+        if rid != a.rid or re - rb < opt.min_seed_len:
+            continue
         hit = sw_local(
             seq, ref, opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
             opt.min_seed_len * opt.a,

@@ -151,6 +151,29 @@ class BwaIndex:
         assert end <= l_pac, "interval spans the strand boundary"
         return self._fwd_codes(beg, end)
 
+    def fetch_seq(self, beg: int, mid: int, end: int):
+        """[EXT] bns_fetch_seq: clamp [beg, end) to the contig containing
+        ``mid`` (on mid's strand in the doubled domain), then fetch.
+
+        Returns (codes, beg, end, rid) with the clamped bounds; callers
+        (mem_matesw / mem_seed_sw analogs) must check rid themselves.
+        """
+        bns = self.bns
+        l_pac = bns.l_pac
+        if end < beg:
+            beg, end = end, beg
+        assert beg <= mid < end
+        fpos, is_rev = bns.depos(mid)
+        rid = bns.pos_to_rid(fpos)
+        ann = bns.anns[rid]
+        far_beg = ann.offset
+        far_end = far_beg + ann.length
+        if is_rev:  # flip the contig span to the reverse strand
+            far_beg, far_end = (l_pac << 1) - far_end, (l_pac << 1) - far_beg
+        beg = max(beg, far_beg)
+        end = min(end, far_end)
+        return self.get_seq(beg, end), beg, end, rid
+
     def _fwd_codes(self, beg: int, end: int) -> np.ndarray:
         cache = getattr(self, "_unpacked", None)
         if cache is None and self.bns.l_pac <= self._UNPACK_CACHE_MAX:
