@@ -34,6 +34,8 @@ def cmd_mem(args) -> int:
     from .api.pestats import BwaMemPairEndStats
     from .engine.pipeline import align_regs_batch, reg2sam_records
     from .engine.finalize import mark_primary_se
+    from .engine import finalize as finalize_mod
+    from .api.options import MEM_F_PRIMARY5
     from .engine import pair as pair_mod
     from .utils.encoding import seq_to_codes
     from .utils.fastq import read_fastx
@@ -108,6 +110,8 @@ def cmd_mem(args) -> int:
             regs_all = align_regs_batch(opt, eng, codes)
             for i, (r, regs) in enumerate(zip(batch, regs_all)):
                 mark_primary_se(opt, regs, n_done + i)
+                if opt.flag & MEM_F_PRIMARY5:
+                    finalize_mod.reorder_primary5(opt.T, regs)
                 alns = reg2sam_records(opt, eng, codes[i], regs)
                 for w, a in enumerate(alns):
                     out.write(

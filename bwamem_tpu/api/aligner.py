@@ -16,12 +16,12 @@ from typing import Callable, Iterable, List, Optional, TypeVar
 import numpy as np
 
 from ..engine import pair as pair_mod
-from ..engine.finalize import Aln, mark_primary_se
+from ..engine.finalize import Aln, mark_primary_se, reorder_primary5
 from ..engine.pipeline import align_regs_batch, reg2sam_records
 from ..utils.encoding import seq_to_codes
 from .alignment import BAM_CIGAR_CHARS, BwaMemAlignment
 from .exceptions import InvalidInputException
-from .options import MEM_F_PE, MemOptions
+from .options import MEM_F_PE, MEM_F_PRIMARY5, MemOptions
 from .pestats import DO_NOT_INFER, BwaMemPairEndStats
 from .index import BwaMemIndex
 
@@ -178,6 +178,8 @@ class BwaMemAligner:
         regs_all = align_regs_batch(opt, eng, reads)
         for i, (read, regs) in enumerate(zip(reads, regs_all)):
             mark_primary_se(opt, regs, i)
+            if opt.flag & MEM_F_PRIMARY5:
+                reorder_primary5(opt.T, regs)
             alns = reg2sam_records(opt, eng, read, regs)
             out.append([(a, None) for a in alns])
         return out

@@ -219,30 +219,56 @@ def _patch_reg(opt: MemOptions, idx, query: np.ndarray, a: AlnReg, b: AlnReg):
     return score, w
 
 
+SECONDARY_INT_MAX = (1 << 31) - 1  # INT_MAX sentinel ([EXT] mem_mark_primary_se)
+
+
 def mark_primary_se(opt: MemOptions, regs: List[AlnReg], read_id: int) -> int:
     """[EXT] mem_mark_primary_se; returns count of primary (non-ALT) regions.
 
-    Sorts regs in place by (score desc, is_alt, hash) and fills
-    sub/sub_n/secondary fields.
+    Sorts regs in place and fills sub/sub_n/secondary/secondary_all.  With
+    ALT hits present, the second marking round runs over the non-ALT prefix
+    only, ALT hits become unconditional secondaries (INT_MAX sentinel), and
+    secondary_all is remapped through the re-sort so XA grouping still sees
+    every shadowing relationship.
     """
     if not regs:
         return 0
+    n = len(regs)
     n_pri = 0
     for i, r in enumerate(regs):
         r.sub = r.alt_sc = 0
+        r.sub_n = 0
         r.secondary = r.secondary_all = -1
         r.hash = hash_64((read_id + i) & ((1 << 64) - 1))
         if not r.is_alt:
             n_pri += 1
-    regs.sort(key=lambda r: (-r.score, r.is_alt, r.hash))
+    regs.sort(key=lambda r: (-r.score, r.is_alt, r.hash))  # mem_ars_hash
     _mark_primary_core(opt, regs)
-    for r in regs:
-        # index of the shadowing primary over ALL hits (drives XA grouping);
-        # equals .secondary in the no-ALT case, which is all we support —
-        # the reference's bns->anns[].is_alt is always 0 for indexes we build
-        r.secondary_all = r.secondary
+    for i, r in enumerate(regs):
+        r.secondary_all = i  # keep the rank in the first round
         if not r.is_alt and r.secondary >= 0 and regs[r.secondary].is_alt:
             r.alt_sc = regs[r.secondary].score
+    if n_pri < n:  # ALT hits present: re-mark on the primary assembly only
+        if n_pri > 0:
+            regs.sort(key=lambda r: (r.is_alt, -r.score, r.hash))  # mem_ars_hash2
+        z = [0] * n
+        for i, r in enumerate(regs):
+            z[r.secondary_all] = i  # old first-round rank -> new index
+        for r in regs:
+            if r.secondary >= 0:
+                r.secondary_all = z[r.secondary]
+                if r.is_alt:
+                    r.secondary = SECONDARY_INT_MAX
+            else:
+                r.secondary_all = -1
+        if n_pri > 0:
+            for r in regs[:n_pri]:
+                r.sub = 0
+                r.secondary = -1
+            _mark_primary_core(opt, regs[:n_pri])
+    else:
+        for r in regs:
+            r.secondary_all = r.secondary
     return n_pri
 
 
@@ -269,6 +295,35 @@ def _mark_primary_core(opt: MemOptions, regs: List[AlnReg]) -> None:
             z.append(i)
         else:
             regs[i].secondary = found
+
+
+def reorder_primary5(T: int, regs: List[AlnReg]) -> None:
+    """[EXT] mem_reorder_primary5 (MEM_F_PRIMARY5): among multiple primary
+    non-ALT hits, promote the one covering the 5'-most query position to the
+    front so it becomes the SAM primary record."""
+    n_pri = sum(
+        1 for r in regs if r.secondary < 0 and not r.is_alt and r.score >= T
+    )
+    if n_pri <= 1:
+        return
+    left_st, left_k = 1 << 62, -1
+    for k, r in enumerate(regs):
+        if r.secondary >= 0 or r.is_alt or r.score < T:
+            continue
+        if r.qb < left_st:
+            left_st, left_k = r.qb, k
+    assert regs[left_k].secondary < 0
+    if left_k > 0:  # swap into the front; fix indexes pointing at the pair
+        regs[0], regs[left_k] = regs[left_k], regs[0]
+        for r in regs:
+            if r.secondary == left_k:
+                r.secondary = 0
+            elif r.secondary == 0:
+                r.secondary = left_k
+            if r.secondary_all == left_k:
+                r.secondary_all = 0
+            elif r.secondary_all == 0:
+                r.secondary_all = left_k
 
 
 def approx_mapq_se(opt: MemOptions, a: AlnReg) -> int:

@@ -26,6 +26,15 @@ class Engine:
         self.fm = FMIndex(idx)
 
 
+
+def _flag_alt_regs(bns, regs: List[AlnReg]) -> List[AlnReg]:
+    """[EXT] mem_align1_core tail: regs on ALT contigs get is_alt=1."""
+    anns = bns.anns
+    for r in regs:
+        if r.rid >= 0 and anns[r.rid].is_alt:
+            r.is_alt = 1
+    return regs
+
 def align1_regs(opt: MemOptions, eng: Engine, query: np.ndarray) -> List[AlnReg]:
     """[EXT] mem_align1_core: read codes -> deduped alignment regions."""
     intervals = collect_intv(opt, eng.fm, query)
@@ -45,7 +54,7 @@ def _regs_from_intervals(opt, eng, query, intervals, rbegs_per_intv):
     for c in chains:
         chain2aln(opt, eng.idx, qlen, query, c, regs)
     regs = sort_dedup_patch(opt, eng.idx, query, regs)
-    return regs
+    return _flag_alt_regs(eng.idx.bns, regs)
 
 
 def align_regs_batch(
@@ -132,7 +141,7 @@ def align_regs_batch(
         regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
     with TIMERS.stage("dedup"):
         return [
-            sort_dedup_patch(opt, eng.idx, query, regs)
+            _flag_alt_regs(eng.idx.bns, sort_dedup_patch(opt, eng.idx, query, regs))
             for query, regs in zip(reads, regs_list)
         ]
 
@@ -182,7 +191,7 @@ def _align_regs_batch_native(opt, eng, reads, TIMERS):
             )
         with TIMERS.stage("dedup"):
             return [
-                sort_dedup_patch(opt, eng.idx, query, regs)
+                _flag_alt_regs(eng.idx.bns, sort_dedup_patch(opt, eng.idx, query, regs))
                 for query, regs in zip(reads, regs_list)
             ]
     with TIMERS.stage("chain"):
@@ -197,7 +206,7 @@ def _align_regs_batch_native(opt, eng, reads, TIMERS):
         regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
     with TIMERS.stage("dedup"):
         return [
-            sort_dedup_patch(opt, eng.idx, query, regs)
+            _flag_alt_regs(eng.idx.bns, sort_dedup_patch(opt, eng.idx, query, regs))
             for query, regs in zip(reads, regs_list)
         ]
 
@@ -317,6 +326,11 @@ def _fix_flags(p: Aln, m: Optional[Aln]) -> None:
 
 def align_se(opt: MemOptions, eng: Engine, query: np.ndarray, read_id: int = 0) -> List[Aln]:
     """Full single-end alignment of one read (codes in {0..4})."""
+    from ..api.options import MEM_F_PRIMARY5
+    from .finalize import reorder_primary5
+
     regs = align1_regs(opt, eng, query)
     mark_primary_se(opt, regs, read_id)
+    if opt.flag & MEM_F_PRIMARY5:
+        reorder_primary5(opt.T, regs)
     return reg2sam_records(opt, eng, query, regs)

@@ -169,6 +169,37 @@ def read_amb_into(path: str, bns: Bntseq) -> None:
         raise InvalidFileFormatException(path, f"bad .amb: {exc}") from exc
 
 
+def read_alt_into(path: str, bns: Bntseq) -> None:
+    """Parse ``{prefix}.alt`` and set ``is_alt`` on matching contigs.
+
+    Mirrors [EXT] bntseq.c bns_restore's .alt handling: the file is SAM-ish
+    text; the first tab-delimited token of each non-'@' line names an ALT
+    contig.  Unknown names are ignored (same as the reference engine).
+    """
+    by_name = {a.name: a for a in bns.anns}
+    try:
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+    except OSError as exc:
+        raise CouldNotReadIndexException(path, str(exc)) from exc
+    for line in lines:
+        if not line or line.startswith("@"):
+            continue
+        name = line.split("\t", 1)[0]  # token up to tab/eol, like bns_restore
+        a = by_name.get(name)
+        if a is not None:
+            a.is_alt = 1
+
+
+def write_alt(path: str, bns: Bntseq) -> None:
+    """Write a minimal ``.alt`` file naming the ALT contigs (round-trip aid;
+    stock bwa ships this file with the reference rather than generating it)."""
+    with open(path, "w") as fh:
+        for a in bns.anns:
+            if a.is_alt:
+                fh.write(f"{a.name}\t4\t*\t0\t0\t*\t*\t0\t0\n")
+
+
 def write_index_files(prefix: str, idx: BwaIndex) -> None:
     """Write the full bwa-format index file set at ``prefix``."""
     write_bwt(prefix + ".bwt", idx.bwt)
@@ -176,6 +207,8 @@ def write_index_files(prefix: str, idx: BwaIndex) -> None:
     write_pac(prefix + ".pac", idx.pac, idx.bns.l_pac)
     write_ann(prefix + ".ann", idx.bns)
     write_amb(prefix + ".amb", idx.bns)
+    if any(a.is_alt for a in idx.bns.anns):
+        write_alt(prefix + ".alt", idx.bns)
 
 
 def read_index_files(prefix: str) -> BwaIndex:
@@ -186,6 +219,8 @@ def read_index_files(prefix: str) -> BwaIndex:
             raise CouldNotReadIndexException(p, "missing or empty index file")
     bns = read_ann(prefix + ".ann")
     read_amb_into(prefix + ".amb", bns)
+    if os.path.isfile(prefix + ".alt"):
+        read_alt_into(prefix + ".alt", bns)  # ALT-aware mapping (bns_restore)
     bwt = read_bwt(prefix + ".bwt", prefix + ".sa")
     pac = read_pac(prefix + ".pac", bns.l_pac)
     return BwaIndex(bns=bns, pac=pac, bwt=bwt)
