@@ -65,7 +65,7 @@ def main():
     warm = simulate(8)
     aligner.align_seqs(warm)  # warm caches/compiles
 
-    n_pairs = int(os.environ.get("BENCH_PAIRS", "1500"))
+    n_pairs = int(os.environ.get("BENCH_PAIRS", "6000"))
     reads = simulate(n_pairs)
     n_reads = len(reads)
     rate = 0.0

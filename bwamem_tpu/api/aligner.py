@@ -173,7 +173,28 @@ class BwaMemAligner:
         raw = self.align_seqs_raw(wire.decode_seqs(seqs_buf))
         return wire.encode_alignments(raw)
 
+    def _align_native(self, eng, opt, reads, is_pe: bool):
+        """Full native pipeline (seeds -> records in one C call);
+        engine/native/pipeline.cpp, the mem_process_seqs equivalent."""
+        from ..engine import native_pipeline
+        from ..engine.pipeline import native_seed_sa
+        from ..utils.timers import TIMERS
+
+        arrays = native_seed_sa(opt, eng, reads)
+        pes = None
+        if is_pe and self._pe_stats is not None:
+            pes = self._resolve_pes(opt, eng, None)
+        with TIMERS.stage("native_tail"):
+            return native_pipeline.pipeline_batch(
+                opt, eng.idx, reads, *arrays, is_pe=is_pe, pes=pes
+            )
+
     def _align_se(self, eng, opt, reads):
+        from ..engine.pipeline import native_pipeline_ok
+
+        if native_pipeline_ok(eng, reads):
+            recs = self._align_native(eng, opt, reads, is_pe=False)
+            return [[(a, None) for a in alns] for alns in recs]
         out = []
         regs_all = align_regs_batch(opt, eng, reads)
         for i, (read, regs) in enumerate(zip(reads, regs_all)):
@@ -189,6 +210,18 @@ class BwaMemAligner:
             raise InvalidInputException(
                 "paired alignment requires an even number of sequences"
             )
+        from ..engine.pipeline import native_pipeline_ok
+
+        if native_pipeline_ok(eng, reads):
+            recs = self._align_native(eng, opt, reads, is_pe=True)
+            out = []
+            for i in range(len(reads) // 2):
+                alns0, alns1 = recs[2 * i], recs[2 * i + 1]
+                m0 = alns0[0] if alns0 else None
+                m1 = alns1[0] if alns1 else None
+                out.append([(a, m1) for a in alns0])
+                out.append([(a, m0) for a in alns1])
+            return out
         regs = align_regs_batch(opt, eng, reads)
         pes = self._resolve_pes(opt, eng, regs)
         out = []

@@ -100,7 +100,9 @@ def gen_cigar2(
         w = min(w, w_)
         min_w = abs(rlen - l_query) + 3
         w = max(w, min_w)
-        score, cigar = ksw_global2(
+        from .native_ksw import ksw_global  # native twin, oracle fallback
+
+        score, cigar = ksw_global(
             q, rseq, opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w
         )
     # NM / MD over the (possibly flipped) sequences (M runs vectorized)
@@ -118,6 +120,7 @@ def gen_cigar2(
             for i in mism.tolist():
                 md.append(str(u + i - prev - 1))
                 md.append(int2base[int(rs[i])])
+                u = 0  # bwa_gen_cigar2 resets the match count per mismatch
                 prev = i
             u = (u + ln) if len(mism) == 0 else (ln - 1 - int(mism[-1]))
             x += ln
@@ -135,6 +138,39 @@ def gen_cigar2(
             n_mm += ln
     md.append(str(u))
     return score, cigar, n_mm, "".join(md)
+
+
+def gen_cigar_retry(opt: MemOptions, idx, qslice: np.ndarray, rb: int, re: int,
+                    w0: int, truesc: int):
+    """mem_reg2aln's band-doubling retry loop around gen_cigar2; native
+    (one C call, OpenMP-ready batch core) when available, python otherwise.
+    -> (score, cigar, NM, md)."""
+    from .native_ksw import available, reg2aln_cigar_one
+
+    # gapless diagonal case (w0==0, equal lengths): the python path is a
+    # single vectorized score+MD pass, cheaper than any FFI round trip; the
+    # retry loop can never escape it (w2 stays 0)
+    diagonal = w0 == 0 and len(qslice) == re - rb
+    if not diagonal:
+        fwd = idx.unpacked_fwd() if hasattr(idx, "unpacked_fwd") else None
+        if fwd is not None and available():
+            return reg2aln_cigar_one(
+                opt, fwd, idx.bns.l_pac, qslice, rb, re, w0, truesc
+            )
+    w2 = w0
+    last_sc = -(1 << 30)
+    i = 0
+    while True:
+        w2 = min(w2, opt.w << 2)
+        score, cigar, NM, md = gen_cigar2(opt, idx, w2, qslice, rb, re)
+        if score == last_sc or w2 == opt.w << 2:
+            break
+        last_sc = score
+        w2 <<= 1
+        i += 1
+        if not (i < 3 and score < truesc - opt.a):
+            break
+    return score, cigar, NM, md
 
 
 def sort_dedup_patch(
@@ -370,18 +406,9 @@ def reg2aln(
     )
     if w2 > opt.w:
         w2 = min(w2, ar.w)
-    last_sc = -(1 << 30)
-    i = 0
-    while True:
-        w2 = min(w2, opt.w << 2)
-        score, cigar, NM, md = gen_cigar2(opt, idx, w2, query[qb:qe], rb, re)
-        if score == last_sc or w2 == opt.w << 2:
-            break
-        last_sc = score
-        w2 <<= 1
-        i += 1
-        if not (i < 3 and score < ar.truesc - opt.a):
-            break
+    score, cigar, NM, md = gen_cigar_retry(
+        opt, idx, query[qb:qe], rb, re, w2, ar.truesc
+    )
     a.NM = NM
     a.md = md
     pos, is_rev = idx.bns.depos(rb if rb < idx.bns.l_pac else re - 1)

@@ -131,6 +131,233 @@ void ksw_extend_one(const uint8_t* q, int qlen, const uint8_t* t, int tlen,
   out6[5] = max_off;
 }
 
+// Banded global (NW) alignment with traceback — exact twin of
+// engine/extend.py::ksw_global2 (the validated oracle for [EXT] ksw.c's
+// ksw_global2 incl. tie-breaks).  Scores in int64 like the oracle; the
+// direction matrix z is 1 byte/cell over the band only.
+static const int64_t KGLOBAL_MINUS_INF = -0x40000000LL;
+
+static int32_t ksw_global_one(int32_t qlen, const uint8_t* query, int32_t tlen,
+                              const uint8_t* target, const int8_t* mat,
+                              int32_t o_del, int32_t e_del, int32_t o_ins,
+                              int32_t e_ins, int32_t w, int want_cigar,
+                              uint32_t* cigar_out, int32_t* n_cigar_out,
+                              std::vector<uint8_t>& zbuf,
+                              std::vector<int64_t>& ehbuf) {
+  if (n_cigar_out) *n_cigar_out = 0;
+  if (qlen <= 0 || tlen <= 0) return 0;
+  const int64_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  const int64_t n_col = qlen < 2 * (int64_t)w + 1 ? qlen : 2 * (int64_t)w + 1;
+  uint8_t* z = nullptr;
+  if (want_cigar) {
+    zbuf.assign((size_t)tlen * n_col, 0);
+    z = zbuf.data();
+  }
+  ehbuf.assign(2 * (size_t)(qlen + 1), KGLOBAL_MINUS_INF);
+  int64_t* eh_h = ehbuf.data();
+  int64_t* eh_e = eh_h + (qlen + 1);
+  eh_h[0] = 0;
+  for (int64_t j = 1; j <= qlen && j <= w; ++j)
+    eh_h[j] = -(o_ins + e_ins * j);
+  // query profile per target symbol row is just mat lookup; loop directly
+  for (int64_t i = 0; i < tlen; ++i) {
+    int64_t f = KGLOBAL_MINUS_INF;
+    const int8_t* q = mat + (int64_t)target[i] * 5;
+    int64_t beg = i > w ? i - w : 0;
+    int64_t end = i + w + 1 < qlen ? i + w + 1 : qlen;
+    int64_t h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : KGLOBAL_MINUS_INF;
+    uint8_t* zrow = z ? z + i * n_col : nullptr;
+    for (int64_t j = beg; j < end; ++j) {
+      int64_t M = eh_h[j];
+      int64_t e = eh_e[j];
+      eh_h[j] = h1;
+      M += q[query[j]];
+      uint8_t d = M >= e ? 0 : 1;
+      int64_t h = M >= e ? M : e;
+      d = h >= f ? d : 2;
+      h = h >= f ? h : f;
+      h1 = h;
+      int64_t t = M - oe_del;
+      e -= e_del;
+      d |= e > t ? (1 << 2) : 0;
+      e = e > t ? e : t;
+      eh_e[j] = e;
+      t = M - oe_ins;
+      f -= e_ins;
+      d |= f > t ? (2 << 4) : 0;
+      f = f > t ? f : t;
+      if (zrow) zrow[j - beg] = d;
+    }
+    eh_h[end] = h1;
+    eh_e[end] = KGLOBAL_MINUS_INF;
+  }
+  int32_t score = (int32_t)eh_h[qlen];
+  if (!want_cigar) return score;
+  // backtrack (same order/tie-breaks as the oracle); ops emitted reversed
+  int32_t n_cig = 0;
+  auto push = [&](uint32_t op, uint32_t ln) {
+    if (n_cig && (cigar_out[n_cig - 1] & 0xf) == op)
+      cigar_out[n_cig - 1] += ln << 4;
+    else
+      cigar_out[n_cig++] = (ln << 4) | op;
+  };
+  int which = 0;
+  int64_t i = tlen - 1;
+  int64_t k = (i + w + 1 < qlen ? i + w + 1 : qlen) - 1;
+  while (i >= 0 && k >= 0) {
+    int64_t beg = i > w ? i - w : 0;
+    int64_t idx = k - beg;
+    // a feasible band (w >= |tlen-qlen|, the gen_cigar2 contract) keeps the
+    // traceback inside [0, n_col); for infeasible bands mirror the python
+    // oracle's numpy negative-index wraparound instead of reading OOB
+    if (idx < 0) idx += n_col;
+    if (idx < 0) idx = 0;
+    if (idx >= n_col) idx = n_col - 1;
+    which = (z[i * n_col + idx] >> (which << 1)) & 3;
+    if (which == 0) {
+      push(0, 1);
+      --i;
+      --k;
+    } else if (which == 1) {
+      push(2, 1);
+      --i;
+    } else {
+      push(1, 1);
+      --k;
+    }
+  }
+  if (i >= 0) push(2, (uint32_t)(i + 1));
+  if (k >= 0) push(1, (uint32_t)(k + 1));
+  // reverse op runs into caller order
+  for (int32_t a = 0, b = n_cig - 1; a < b; ++a, --b) {
+    uint32_t t = cigar_out[a];
+    cigar_out[a] = cigar_out[b];
+    cigar_out[b] = t;
+  }
+  *n_cigar_out = n_cig;
+  return score;
+}
+
+// mem_reg2aln's CIGAR core: band-doubling retry loop around
+// bwa_gen_cigar2 (global alignment + NM/MD), exact twin of
+// engine/finalize.py::reg2aln's while-loop + gen_cigar2.  Reference
+// anchored at [EXT] bwamem.c mem_reg2aln / bwa.c bwa_gen_cigar2.
+struct Reg2AlnOut {
+  int32_t score;
+  int32_t nm;
+  int32_t n_cig;
+  int32_t n_md;
+};
+
+static void gen_cigar2_one(const uint8_t* query, int64_t l_query, int64_t rb,
+                           int64_t re, const uint8_t* ref_fwd, int64_t l_pac,
+                           const int8_t* mat, int32_t o_del, int32_t e_del,
+                           int32_t o_ins, int32_t e_ins, int64_t w_,
+                           uint32_t* cig, int32_t* n_cig, uint8_t* md,
+                           int32_t* n_md, int32_t* score, int32_t* nm,
+                           std::vector<uint8_t>& qtmp,
+                           std::vector<uint8_t>& rtmp,
+                           std::vector<uint8_t>& zbuf,
+                           std::vector<int64_t>& ehbuf) {
+  *n_cig = 0;
+  *n_md = 0;
+  *nm = -1;
+  *score = 0;
+  if (l_query <= 0 || rb >= re || (rb < l_pac && re > l_pac)) return;
+  int64_t rlen = re - rb;
+  // fetch rseq on the doubled domain (bns_get_seq semantics)
+  rtmp.resize(rlen);
+  if (rb >= l_pac) {
+    int64_t fb = 2 * l_pac - re, fe = 2 * l_pac - rb;
+    for (int64_t i = 0; i < fe - fb; ++i) {
+      uint8_t c = ref_fwd[fe - 1 - i];
+      rtmp[i] = c < 4 ? 3 - c : c;
+    }
+  } else {
+    std::memcpy(rtmp.data(), ref_fwd + rb, rlen);
+  }
+  const uint8_t* q = query;
+  uint8_t* rs = rtmp.data();
+  if (rb >= l_pac) {  // flip both so indels left-align on the forward strand
+    qtmp.assign(query, query + l_query);
+    std::reverse(qtmp.begin(), qtmp.end());
+    std::reverse(rtmp.begin(), rtmp.end());
+    q = qtmp.data();
+  }
+  if (l_query == rlen && w_ == 0) {  // no gap possible: straight diagonal
+    cig[0] = ((uint32_t)l_query << 4) | 0;
+    *n_cig = 1;
+    int64_t sc = 0;
+    for (int64_t i = 0; i < l_query; ++i) sc += mat[(int64_t)rs[i] * 5 + q[i]];
+    *score = (int32_t)sc;
+  } else {
+    int32_t max_sc = mat[0];
+    int64_t max_ins =
+        (int64_t)((double)(((l_query + 1) >> 1) * max_sc - o_ins) / e_ins + 1.0);
+    int64_t max_del =
+        (int64_t)((double)(((l_query + 1) >> 1) * max_sc - o_del) / e_del + 1.0);
+    int64_t max_gap = std::max(std::max(max_ins, max_del), (int64_t)1);
+    int64_t w = (max_gap + std::llabs(rlen - l_query) + 1) >> 1;
+    w = std::min(w, w_);
+    int64_t min_w = std::llabs(rlen - l_query) + 3;
+    w = std::max(w, min_w);
+    *score = ksw_global_one((int32_t)l_query, q, (int32_t)rlen, rs, mat, o_del,
+                            e_del, o_ins, e_ins, (int32_t)w, 1, cig, n_cig,
+                            zbuf, ehbuf);
+  }
+  // NM / MD over the (possibly flipped) sequences
+  static const char FWD_BASE[] = "ACGTN";
+  static const char REV_BASE[] = "TGCAN";
+  const char* int2base = rb < l_pac ? FWD_BASE : REV_BASE;
+  int64_t x = 0, y = 0, u = 0, n_mm = 0;
+  int32_t mdl = 0;
+  auto put_num = [&](int64_t v) {
+    char tmp[20];
+    int t = 0;
+    if (v == 0) tmp[t++] = '0';
+    while (v > 0) {
+      tmp[t++] = (char)('0' + v % 10);
+      v /= 10;
+    }
+    while (t > 0) md[mdl++] = tmp[--t];
+  };
+  int32_t nc = *n_cig;
+  for (int32_t k = 0; k < nc; ++k) {
+    uint32_t op = cig[k] & 0xf;
+    int64_t ln = cig[k] >> 4;
+    if (op == 0) {  // match run
+      int64_t last = -1;
+      for (int64_t i = 0; i < ln; ++i) {
+        if (q[x + i] != rs[y + i]) {
+          ++n_mm;
+          put_num(u + i - last - 1);
+          md[mdl++] = int2base[rs[y + i]];
+          u = 0;
+          last = i;
+        }
+      }
+      u = last < 0 ? u + ln : ln - 1 - last;
+      x += ln;
+      y += ln;
+    } else if (op == 2) {  // deletion
+      if (k > 0 && k < nc - 1) {  // MD only for interior deletions
+        put_num(u);
+        md[mdl++] = '^';
+        for (int64_t i = 0; i < ln; ++i) md[mdl++] = int2base[rs[y + i]];
+        u = 0;
+      }
+      y += ln;
+      n_mm += ln;
+    } else if (op == 1) {  // insertion
+      x += ln;
+      n_mm += ln;
+    }
+  }
+  put_num(u);
+  *n_md = mdl;
+  *nm = (int32_t)n_mm;
+}
+
 }  // namespace
 
 extern "C" {
@@ -146,6 +373,117 @@ void bwamem_ksw_extend_batch(
     ksw_extend_one(qbuf + qoff[i], qlen[i], tbuf + toff[i], tlen[i], mat,
                    o_del, e_del, o_ins, e_ins, w[i], end_bonus[i], zdrop,
                    h0[i], out + i * 6);
+  }
+}
+
+int32_t bwamem_ksw_global(int32_t qlen, const uint8_t* query, int32_t tlen,
+                          const uint8_t* target, const int8_t* mat,
+                          int32_t o_del, int32_t e_del, int32_t o_ins,
+                          int32_t e_ins, int32_t w, int32_t want_cigar,
+                          uint32_t* cigar_out, int32_t* n_cigar_out) {
+  std::vector<uint8_t> zbuf;
+  std::vector<int64_t> ehbuf;
+  return ksw_global_one(qlen, query, tlen, target, mat, o_del, e_del, o_ins,
+                        e_ins, w, want_cigar, cigar_out, n_cigar_out, zbuf,
+                        ehbuf);
+}
+
+// mem_reg2aln CIGAR core, batched: per job runs the band-doubling retry
+// loop around gen_cigar2 (global SW + NM/MD).  Caller provides per-job
+// cigar capacity (qlen+rlen+4 ops) and MD capacity (2*(qlen+rlen)+32 B)
+// via the offset arrays.  OpenMP across jobs.
+void bwamem_reg2aln_batch(
+    int64_t n_jobs, const uint8_t* qbuf, const int64_t* qoff,
+    const int32_t* qlen, const int64_t* rb, const int64_t* re,
+    const int64_t* w0, const int64_t* truesc, const uint8_t* ref_fwd,
+    int64_t l_pac, const int8_t* mat, int32_t o_del, int32_t e_del,
+    int32_t o_ins, int32_t e_ins, int32_t opt_w, int32_t opt_a,
+    uint32_t* cig_buf, const int64_t* cig_off, int32_t* n_cig_out,
+    uint8_t* md_buf, const int64_t* md_off, int32_t* n_md_out,
+    int32_t* score_out, int32_t* nm_out) {
+#pragma omp parallel
+  {
+    std::vector<uint8_t> qtmp, rtmp, zbuf;
+    std::vector<int64_t> ehbuf;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t j = 0; j < n_jobs; ++j) {
+      const uint8_t* q = qbuf + qoff[j];
+      uint32_t* cig = cig_buf + cig_off[j];
+      uint8_t* md = md_buf + md_off[j];
+      int64_t w2 = w0[j];
+      int64_t last_sc = -(1LL << 30);
+      int32_t score = 0, nm = -1, n_cig = 0, n_md = 0;
+      for (int tries = 0;;) {
+        w2 = std::min(w2, (int64_t)opt_w << 2);
+        gen_cigar2_one(q, qlen[j], rb[j], re[j], ref_fwd, l_pac, mat, o_del,
+                       e_del, o_ins, e_ins, w2, cig, &n_cig, md, &n_md,
+                       &score, &nm, qtmp, rtmp, zbuf, ehbuf);
+        if (score == last_sc || w2 == (int64_t)opt_w << 2) break;
+        last_sc = score;
+        w2 <<= 1;
+        ++tries;
+        if (!(tries < 3 && score < truesc[j] - opt_a)) break;
+      }
+      n_cig_out[j] = n_cig;
+      n_md_out[j] = n_md;
+      score_out[j] = score;
+      nm_out[j] = nm;
+    }
+  }
+}
+
+// Single-job variant of bwamem_reg2aln_batch for call sites that cannot
+// batch: scalar args, caller-preallocated outputs, no OpenMP.
+void bwamem_reg2aln_one(const uint8_t* q, int32_t lq, int64_t rb, int64_t re,
+                        int64_t w0, int64_t truesc, const uint8_t* ref_fwd,
+                        int64_t l_pac, const int8_t* mat, int32_t o_del,
+                        int32_t e_del, int32_t o_ins, int32_t e_ins,
+                        int32_t opt_w, int32_t opt_a, uint32_t* cig,
+                        int32_t* n_cig, uint8_t* md, int32_t* n_md,
+                        int32_t* score_out, int32_t* nm_out) {
+  static thread_local std::vector<uint8_t> qtmp, rtmp, zbuf;
+  static thread_local std::vector<int64_t> ehbuf;
+  int64_t w2 = w0;
+  int64_t last_sc = -(1LL << 30);
+  int32_t score = 0, nm = -1;
+  *n_cig = 0;
+  *n_md = 0;
+  for (int tries = 0;;) {
+    w2 = std::min(w2, (int64_t)opt_w << 2);
+    gen_cigar2_one(q, lq, rb, re, ref_fwd, l_pac, mat, o_del, e_del, o_ins,
+                   e_ins, w2, cig, n_cig, md, n_md, &score, &nm, qtmp, rtmp,
+                   zbuf, ehbuf);
+    if (score == last_sc || w2 == (int64_t)opt_w << 2) break;
+    last_sc = score;
+    w2 <<= 1;
+    ++tries;
+    if (!(tries < 3 && score < truesc - opt_a)) break;
+  }
+  *score_out = score;
+  *nm_out = nm;
+}
+
+// Batched variant: jobs share flattened buffers; per-job cigar capacity is
+// qlen+tlen ops written at cig_off[i]; OpenMP-parallel across jobs.
+void bwamem_ksw_global_batch(int64_t n_jobs, const uint8_t* qbuf,
+                             const int64_t* qoff, const int32_t* qlen,
+                             const uint8_t* tbuf, const int64_t* toff,
+                             const int32_t* tlen, const int8_t* mat,
+                             int32_t o_del, int32_t e_del, int32_t o_ins,
+                             int32_t e_ins, const int32_t* w,
+                             uint32_t* cig_buf, const int64_t* cig_off,
+                             int32_t* n_cig_out, int32_t* score_out) {
+#pragma omp parallel
+  {
+    std::vector<uint8_t> zbuf;
+    std::vector<int64_t> ehbuf;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t i = 0; i < n_jobs; ++i) {
+      score_out[i] = ksw_global_one(
+          qlen[i], qbuf + qoff[i], tlen[i], tbuf + toff[i], mat, o_del, e_del,
+          o_ins, e_ins, w[i], 1, cig_buf + cig_off[i], n_cig_out + i, zbuf,
+          ehbuf);
+    }
   }
 }
 

@@ -146,13 +146,16 @@ def align_regs_batch(
         ]
 
 
-def _align_regs_batch_native(opt, eng, reads, TIMERS):
-    """Array-based fast path: native seeding -> vectorized interval sampling
-    -> native SA walks -> native chaining, no per-interval Python objects."""
-    from . import native_chain, native_fm
-    from .chain import flt_chained_seeds
-    from .extend_batch import chain2aln_batch
+def native_seed_sa(opt, eng, reads, TIMERS=None):
+    """Native three-round seeding + vectorized SA resolution.
 
+    Returns the raw arrays consumed by the native core/pipeline entries:
+    (intv rows [N,5], intv_off, n_intv, rbegs, rbeg_off, cnt).
+    """
+    from . import native_fm
+
+    if TIMERS is None:
+        from ..utils.timers import TIMERS
     with TIMERS.stage("seed"):
         rows, n_intv = native_fm.collect_intv_batch_raw(opt, eng.fm, reads)
     with TIMERS.stage("sa_lookup"):
@@ -173,6 +176,33 @@ def _align_regs_batch_native(opt, eng, reads, TIMERS):
         )
     intv_off = np.zeros(len(reads), dtype=np.int64)
     np.cumsum(n_intv[:-1], out=intv_off[1:])
+    return rows, intv_off, n_intv, rbegs, rbeg_off, cnt.astype(np.int64)
+
+
+def native_pipeline_ok(eng, reads) -> bool:
+    """Full-native pipeline applicability: native libs present, short-read
+    regime (mem_flt_chained_seeds is a no-op under ~700bp; we gate at the
+    fused-core threshold), and an unpacked reference cache."""
+    from . import native_fm, native_pipeline
+
+    if not (native_fm.available() and native_pipeline.available()):
+        return False
+    max_qlen = max((len(r) for r in reads), default=0)
+    return (
+        max_qlen < 500 and eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
+    )
+
+
+def _align_regs_batch_native(opt, eng, reads, TIMERS):
+    """Array-based fast path: native seeding -> vectorized interval sampling
+    -> native SA walks -> native chaining, no per-interval Python objects."""
+    from . import native_chain, native_fm
+    from .chain import flt_chained_seeds
+    from .extend_batch import chain2aln_batch
+
+    rows, intv_off, n_intv, rbegs, rbeg_off, cnt = native_seed_sa(
+        opt, eng, reads, TIMERS
+    )
     # the fused chain+extend core applies when no read is long enough to
     # trigger mem_flt_chained_seeds and the reference fits the unpacked cache
     from . import native_core

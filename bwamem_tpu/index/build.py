@@ -174,11 +174,17 @@ class BwaIndex:
         end = min(end, far_end)
         return self.get_seq(beg, end), beg, end, rid
 
-    def _fwd_codes(self, beg: int, end: int) -> np.ndarray:
+    def unpacked_fwd(self):
+        """Unpacked forward codes cache (None above the size cutoff) — the
+        zero-copy reference buffer for the native kernels."""
         cache = getattr(self, "_unpacked", None)
         if cache is None and self.bns.l_pac <= self._UNPACK_CACHE_MAX:
             cache = unpack_2bit(np.asarray(self.pac), self.bns.l_pac)
             object.__setattr__(self, "_unpacked", cache)
+        return cache
+
+    def _fwd_codes(self, beg: int, end: int) -> np.ndarray:
+        cache = self.unpacked_fwd()
         if cache is not None:
             return cache[beg:end]
         byte_beg = beg >> 2
