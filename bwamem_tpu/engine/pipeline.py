@@ -6,6 +6,7 @@ marking -> records.  The paired-end driver (pair.py) builds on align1_regs.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -187,6 +188,8 @@ def native_pipeline_ok(eng, reads) -> bool:
 
     if not (native_fm.available() and native_pipeline.available()):
         return False
+    if os.environ.get("BWAMEM_TPU_FORCE_WAVES") == "1":
+        return False  # mesh / device-wave routing stays on the wave path
     max_qlen = max((len(r) for r in reads), default=0)
     return (
         max_qlen < 500 and eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
@@ -212,6 +215,10 @@ def _align_regs_batch_native(opt, eng, reads, TIMERS):
         native_core.available()
         and max_qlen < 500
         and eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
+        # BWAMEM_TPU_FORCE_WAVES=1 keeps extension in cross-read device
+        # waves (chain2aln_batch) instead of the fused host core — the
+        # mesh/data-parallel path and real-TPU routing use this
+        and os.environ.get("BWAMEM_TPU_FORCE_WAVES") != "1"
     )
     if fused:
         with TIMERS.stage("chain+extend"):

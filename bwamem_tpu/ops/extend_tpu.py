@@ -22,11 +22,30 @@ writes and both shrink scans.
 """
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# When set (parallel/pipeline.py::active_mesh), ksw_extend_batch_np places
+# wave inputs with the batch dimension sharded over the mesh's data+idx
+# axes; the kernel is elementwise over the batch, so XLA partitions it with
+# zero communication and the wave's FLOPs spread across the mesh.
+_ACTIVE_MESH = None
+
+
+@contextlib.contextmanager
+def active_mesh(mesh):
+    """Route subsequent extension waves data-parallel over ``mesh``."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
 
 
 @partial(
@@ -216,14 +235,29 @@ def ksw_extend_batch_np(
         qlen[i] = len(q)
         tlen[i] = len(t)
     mat5 = np.asarray(mat, dtype=np.int32).reshape(5, 5)
+    batch_args = [
+        qa, ta, qlen, tlen,
+        np.asarray(h0s, dtype=np.int32),
+        np.asarray(ws, dtype=np.int32),
+        np.asarray(bonuses, dtype=np.int32),
+    ]
+    if _ACTIVE_MESH is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = _ACTIVE_MESH
+        axes = tuple(mesh.axis_names)
+        shard1 = NamedSharding(mesh, P(axes))
+        shard2 = NamedSharding(mesh, P(axes, None))
+        placed = [
+            jax.device_put(
+                jnp.asarray(v), shard2 if v.ndim == 2 else shard1
+            )
+            for v in batch_args
+        ]
+    else:
+        placed = [jnp.asarray(v) for v in batch_args]
     out = ksw_extend_batch(
-        jnp.asarray(qa),
-        jnp.asarray(ta),
-        jnp.asarray(qlen),
-        jnp.asarray(tlen),
-        jnp.asarray(np.asarray(h0s, dtype=np.int32)),
-        jnp.asarray(np.asarray(ws, dtype=np.int32)),
-        jnp.asarray(np.asarray(bonuses, dtype=np.int32)),
+        *placed,
         jnp.asarray(mat5),
         o_del, e_del, o_ins, e_ins, zdrop,
         int(mat5.max()),
