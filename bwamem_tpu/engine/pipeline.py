@@ -88,10 +88,22 @@ def align_regs_batch(
         use_device_extension = True
     from . import native_chain
 
-    if native_fm.available() and native_chain.available() and use_device_extension:
+    # BWAMEM_TPU_DEVICE_SEED=1 routes the full three-round SMEM seeding
+    # through the device bwt_smem1a kernel (engine/seed_device.py)
+    device_seed = os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1"
+    if (
+        not device_seed
+        and native_fm.available()
+        and native_chain.available()
+        and use_device_extension
+    ):
         return _align_regs_batch_native(opt, eng, reads, TIMERS)
     with TIMERS.stage("seed"):
-        if native_fm.available():
+        if device_seed:
+            from .seed_device import collect_intv_batch_device
+
+            intervals_list = collect_intv_batch_device(opt, eng.fm, reads)
+        elif native_fm.available():
             intervals_list = native_fm.collect_intv_batch(opt, eng.fm, reads)
         else:
             intervals_list = collect_intv_batch(opt, eng.fm, reads)
@@ -190,6 +202,8 @@ def native_pipeline_ok(eng, reads) -> bool:
         return False
     if os.environ.get("BWAMEM_TPU_FORCE_WAVES") == "1":
         return False  # mesh / device-wave routing stays on the wave path
+    if os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1":
+        return False  # device SMEM seeding routes through align_regs_batch
     max_qlen = max((len(r) for r in reads), default=0)
     return (
         max_qlen < 500 and eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX

@@ -1,0 +1,193 @@
+"""Device-side three-round SMEM seeding ([EXT] mem_collect_intv on TPU).
+
+Round 1 (all SMEMs) and round 2 (re-seeding) run on the full bwt_smem1a
+device kernel (ops/smem_tpu.py); round 3 (LAST-like) on the strategy-1
+kernel (ops/seed_tpu.py).  Starts advance as lockstep cursor waves: every
+kernel call processes one start per read lane, so a batch of reads costs
+max-starts-per-read device dispatches per round, each a fixed-shape jitted
+computation (batch and length bucketed to bound compilation).
+
+Reads whose interval bookkeeping overflows the kernel's K slots (rare)
+fall back to the host oracle read-by-read.  Output is bit-identical to
+engine/seed.py::collect_intv (tests/test_smem_tpu.py).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..api.options import MemOptions
+from ..ops.fmindex_tpu import DeviceFMIndex
+from ..ops.seed_tpu import seed_strategy1_batch
+from ..ops.smem_tpu import smem1a_batch
+from .fmindex import FMIndex
+from .seed import SmemIntv, collect_intv
+
+_B_BUCKETS = (64, 256, 1024, 4096)
+_L_BUCKETS = (64, 192, 512)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+def _get_dfm(fm: FMIndex) -> DeviceFMIndex:
+    dfm = getattr(fm, "_device_fm", None)
+    if dfm is None:
+        dfm = DeviceFMIndex.from_host(fm)
+        fm._device_fm = dfm
+    return dfm
+
+
+def _pad_batch(reads: List[np.ndarray]):
+    import jax.numpy as jnp
+
+    B = _bucket(len(reads), _B_BUCKETS)
+    L = _bucket(max((len(r) for r in reads), default=1), _L_BUCKETS)
+    qseq = np.full((B, L), 4, dtype=np.int32)
+    qlen = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        qseq[i, : len(r)] = r
+        qlen[i] = len(r)
+    return jnp.asarray(qseq), jnp.asarray(qlen), B, L
+
+
+def collect_intv_batch_device(
+    opt: MemOptions, fm: FMIndex, reads: List[np.ndarray]
+) -> List[List[SmemIntv]]:
+    """Three-round seeding on device; per read the same sorted interval
+    list collect_intv produces."""
+    import jax.numpy as jnp
+
+    n = len(reads)
+    if n == 0:
+        return []
+    dfm = _get_dfm(fm)
+    qseq, qlen_j, B, L = _pad_batch(reads)
+    qlen = np.zeros(B, dtype=np.int64)
+    qlen[:n] = [len(r) for r in reads]
+    per_read: List[List[SmemIntv]] = [[] for _ in range(n)]
+    fallback = np.zeros(n, dtype=bool)
+
+    def run_smem_wave(x_arr, min_arr, collect_into, lane_to_read):
+        ret, mx0, mx1, ms, mqb, mqe, mcnt, ovf = smem1a_batch(
+            dfm, qseq, qlen_j, jnp.asarray(x_arr, dtype=jnp.int32),
+            jnp.asarray(min_arr, dtype=jnp.int32),
+        )
+        ret = np.asarray(ret)
+        mx0, mx1, ms = np.asarray(mx0), np.asarray(mx1), np.asarray(ms)
+        mqb, mqe = np.asarray(mqb), np.asarray(mqe)
+        mcnt, ovf = np.asarray(mcnt), np.asarray(ovf)
+        for b in range(len(lane_to_read)):
+            r = lane_to_read[b]
+            if r < 0:
+                continue
+            if ovf[b]:
+                fallback[r] = True
+                continue
+            # kernel emits in descending qb; the oracle reverses per start
+            for k in range(int(mcnt[b]) - 1, -1, -1):
+                if mqe[b, k] - mqb[b, k] >= opt.min_seed_len:
+                    collect_into[r].append(
+                        SmemIntv(int(mx0[b, k]), int(mx1[b, k]),
+                                 int(ms[b, k]), int(mqb[b, k]),
+                                 int(mqe[b, k]))
+                    )
+        return ret
+
+    # ---- round 1: all SMEMs, cursor waves over start positions ----------
+    lane_to_read = list(range(n)) + [-1] * (B - n)
+    x = np.zeros(B, dtype=np.int64)
+    ones = np.ones(B, dtype=np.int64)
+    while True:
+        active = x < qlen
+        if not active.any():
+            break
+        ret = run_smem_wave(x, ones, per_read, lane_to_read)
+        x = np.where(active, ret, x)
+
+    # ---- round 2: re-seed long low-occurrence SMEMs from the middle -----
+    jobs = []  # (read, start, min_intv)
+    for r in range(n):
+        if fallback[r]:
+            continue
+        for p in list(per_read[r]):
+            if p.qlen >= opt.split_len and p.s <= opt.split_width:
+                jobs.append((r, (p.qb + p.qe) >> 1, p.s + 1))
+    if jobs:
+        for lo in range(0, len(jobs), B):
+            chunk = jobs[lo : lo + B]
+            x2 = np.zeros(B, dtype=np.int64)
+            mi2 = np.ones(B, dtype=np.int64)
+            l2r = [-1] * B
+            # round-2 lanes reuse the same padded qseq: lane b must carry
+            # read chunk[b][0]'s row, so gather rows host-side
+            rows = np.full((B, L), 4, dtype=np.int32)
+            for b, (r, sx, mi) in enumerate(chunk):
+                rows[b] = np.asarray(qseq[r])
+                x2[b] = sx
+                mi2[b] = mi
+                l2r[b] = r
+            qseq_r2 = jnp.asarray(rows)
+            qlen2 = np.zeros(B, dtype=np.int64)
+            for b, (r, _sx, _mi) in enumerate(chunk):
+                qlen2[b] = qlen[r]
+            ret, mx0, mx1, ms, mqb, mqe, mcnt, ovf = smem1a_batch(
+                dfm, qseq_r2, jnp.asarray(qlen2, dtype=jnp.int32),
+                jnp.asarray(x2, dtype=jnp.int32),
+                jnp.asarray(mi2, dtype=jnp.int32),
+            )
+            mx0, mx1, ms = np.asarray(mx0), np.asarray(mx1), np.asarray(ms)
+            mqb, mqe = np.asarray(mqb), np.asarray(mqe)
+            mcnt, ovf = np.asarray(mcnt), np.asarray(ovf)
+            for b, (r, _sx, _mi) in enumerate(chunk):
+                if ovf[b]:
+                    fallback[r] = True
+                    continue
+                for k in range(int(mcnt[b]) - 1, -1, -1):
+                    if mqe[b, k] - mqb[b, k] >= opt.min_seed_len:
+                        per_read[r].append(
+                            SmemIntv(int(mx0[b, k]), int(mx1[b, k]),
+                                     int(ms[b, k]), int(mqb[b, k]),
+                                     int(mqe[b, k]))
+                        )
+
+    # ---- round 3: LAST-like strategy-1 cursor waves ---------------------
+    if opt.max_mem_intv > 0:
+        x = np.zeros(B, dtype=np.int64)
+        while True:
+            active = x < qlen
+            if not active.any():
+                break
+            found, fx0, fx1, fs, _qb, fqe, nxt = seed_strategy1_batch(
+                dfm.ckpt, dfm.words, dfm.L2, qseq,
+                jnp.asarray(qlen, dtype=jnp.int32),
+                jnp.asarray(x, dtype=jnp.int32),
+                dfm.primary, dfm.seq_len, opt.min_seed_len,
+                int(opt.max_mem_intv),
+            )
+            found = np.asarray(found)
+            fx0, fx1, fs = np.asarray(fx0), np.asarray(fx1), np.asarray(fs)
+            fqe, nxt = np.asarray(fqe), np.asarray(nxt)
+            for b in range(n):
+                if active[b] and found[b] and fs[b] > 0:
+                    per_read[b].append(
+                        SmemIntv(int(fx0[b]), int(fx1[b]), int(fs[b]),
+                                 int(x[b]), int(fqe[b]))
+                    )
+            x = np.where(active, nxt, x)
+
+    # ---- assemble: sort by info = qb<<32|qe; host oracle for overflows --
+    out: List[List[SmemIntv]] = []
+    for r in range(n):
+        if fallback[r]:
+            out.append(collect_intv(opt, fm, reads[r]))
+        else:
+            mems = per_read[r]
+            mems.sort(key=lambda m: (m.qb << 32) | m.qe)
+            out.append(mems)
+    return out

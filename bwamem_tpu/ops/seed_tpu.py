@@ -80,7 +80,8 @@ def seed_strategy1_batch(
 
     Forward-extends every read's pattern from its own x until the interval
     drops below max_intv with length > min_len.  Returns per lane
-    (found, x0, x1, s, qb, qe) exactly like the host seed_strategy1.
+    (found, x0, x1, s, qb, qe, nxt) exactly like the host seed_strategy1 —
+    nxt is the next start cursor (i+1 on hit or N, qlen at read end).
     """
     B, L = qseq.shape
     c0 = qseq[jnp.arange(B), jnp.clip(x, 0, L - 1)]
@@ -95,11 +96,17 @@ def seed_strategy1_batch(
         return alive.any()
 
     def body(state):
-        i, alive, x0, x1, s, found, fx0, fx1, fs, fqe = state
+        i, alive, x0, x1, s, found, fx0, fx1, fs, fqe, nxt = state
         pos = jnp.clip(x + 1 + i, 0, L - 1)
         c = qseq[jnp.arange(B), pos]
         in_range = (x + 1 + i) < qlen
         valid = alive & (c < 4) & in_range
+        # next-cursor bookkeeping ([EXT] bwt_seed_strategy1 return value):
+        # N at this position -> i+1; read end -> qlen
+        stop_n = alive & in_range & (c >= 4)
+        stop_end = alive & ~in_range
+        nxt = jnp.where(stop_n, x + 2 + i, nxt)
+        nxt = jnp.where(stop_end, qlen, nxt)
         # forward extension queries the revcomp coordinate (x1)
         tk = occ4_device(ckpt, words, L2, x1 - 1, primary, seq_len)
         tl = occ4_device(ckpt, words, L2, x1 - 1 + s, primary, seq_len)
@@ -123,17 +130,21 @@ def seed_strategy1_batch(
         fx1 = jnp.where(newly, nx1, fx1)
         fs = jnp.where(newly, ns, fs)
         fqe = jnp.where(newly, x + i + 2, fqe)
+        nxt = jnp.where(newly, x + i + 2, nxt)
         cont = valid & ~hit
         x0 = jnp.where(cont, nx0, x0)
         x1 = jnp.where(cont, nx1, x1)
         s = jnp.where(cont, ns, s)
         alive = cont
-        return i + 1, alive, x0, x1, s, found, fx0, fx1, fs, fqe
+        return i + 1, alive, x0, x1, s, found, fx0, fx1, fs, fqe, nxt
 
     z = jnp.zeros(B, jnp.int32)
     init = (
         jnp.int32(0), ~bad0, ix0.astype(jnp.int32), ix1.astype(jnp.int32),
         isz.astype(jnp.int32), jnp.zeros(B, bool), z, z, z, z,
+        (x + 1).astype(jnp.int32),
     )
-    _, _, _, _, _, found, fx0, fx1, fs, fqe = jax.lax.while_loop(cond, body, init)
-    return found, fx0, fx1, fs, x, fqe
+    _, _, _, _, _, found, fx0, fx1, fs, fqe, nxt = jax.lax.while_loop(
+        cond, body, init
+    )
+    return found, fx0, fx1, fs, x, fqe, nxt

@@ -1,0 +1,217 @@
+"""Full bwt_smem1a SMEM enumeration on device ([EXT] bwt.c bwt_smem1a).
+
+Hot loop #1 of the reference engine is the memory-latency-bound Occ chain
+of SMEM seeding (SURVEY.md section 3.3).  The host oracle
+(engine/seed.py::smem1a) walks one read position at a time with
+data-dependent interval lists; here the same control flow runs as a
+lockstep lane batch — one lane per (read, start position) — with the
+branchy bookkeeping expressed as masked fixed-shape state:
+
+  * forward pass: a ``lax.while_loop`` advancing every lane one base per
+    tick (two occ4 gathers per tick across the whole batch), recording an
+    interval snapshot whenever a lane's interval size changes, into a
+    fixed [B, K] slot array;
+  * backward pass: a ``lax.while_loop`` over backward positions whose body
+    scans the K slots with ``lax.fori_loop`` carrying the oracle's
+    sequential curr/emit semantics (first-dying-slot emission, size-dedup),
+    two occ4 gathers per (tick, slot).
+
+Lanes whose interval count exceeds K flag overflow and fall back to the
+host oracle read-by-read (rare; K=24 covers typical short reads).
+
+Bit-exact against engine/seed.py::collect_intv (tests/test_smem_tpu.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fmindex_tpu import DeviceFMIndex, occ4_device
+
+K_SLOTS = 24  # max forward interval snapshots / SMEMs per start
+
+
+def _extend_device(ckpt, words, L2, x0, x1, s, primary, seq_len, is_back):
+    """[EXT] bwt_extend for a [B] batch of bi-intervals; all four symbols.
+
+    Returns (new_x0, new_x1, sz), each [B, 4], indexed in queried space
+    exactly like bwa's ok[] (backward: prepend base c at index c; forward:
+    append base b at index 3-b).
+    """
+    xq = x0 if is_back else x1
+    xo = x1 if is_back else x0
+    tk = occ4_device(ckpt, words, L2, xq - 1, primary, seq_len)
+    tl = occ4_device(ckpt, words, L2, xq - 1 + s, primary, seq_len)
+    sz = tl - tk
+    new_q = L2[None, :4].astype(jnp.int32) + 1 + tk
+    has_sent = ((xq <= primary) & (xq + s - 1 >= primary)).astype(jnp.int32)
+    o3 = xo + has_sent
+    o2 = o3 + sz[:, 3]
+    o1 = o2 + sz[:, 2]
+    o0 = o1 + sz[:, 1]
+    new_o = jnp.stack([o0, o1, o2, o3], axis=1)
+    if is_back:
+        return new_q, new_o, sz
+    return new_o, new_q, sz
+
+
+@partial(jax.jit, static_argnames=("primary", "seq_len"))
+def smem1a_batch_kernel(
+    ckpt, words, L2, qseq, qlen, x, min_intv, primary: int, seq_len: int
+):
+    """One bwt_smem1a call per lane (max_intv == 0 regime: rounds 1 and 2).
+
+    qseq [B, L] int32 codes (4 = N), x [B] start positions, min_intv [B].
+    Lanes with q[x] > 3 or x >= qlen produce nothing and ret = x + 1.
+
+    Returns: ret [B], mems (x0, x1, s, qb, qe) each [B, K] in the oracle's
+    pre-reverse order (descending qb), m_cnt [B], overflow [B] bool.
+    """
+    B, L = qseq.shape
+    lane = jnp.arange(B)
+    c0 = qseq[lane, jnp.clip(x, 0, L - 1)]
+    bad0 = (c0 > 3) | (x >= qlen)
+    cc0 = jnp.clip(c0, 0, 3)
+    ik_x0 = (L2[cc0] + 1).astype(jnp.int32)
+    ik_x1 = (L2[3 - cc0] + 1).astype(jnp.int32)
+    ik_s = (L2[cc0 + 1] - L2[cc0]).astype(jnp.int32)
+    ik_info = (x + 1).astype(jnp.int32)
+
+    zK = jnp.zeros((B, K_SLOTS), jnp.int32)
+    z = jnp.zeros(B, jnp.int32)
+
+    # ---------------- forward pass: record snapshots on size change -------
+    def fwd_cond(st):
+        return st[1].any()
+
+    def fwd_body(st):
+        (t, alive, x0, x1, s, info, rx0, rx1, rs, rinfo, cnt, ret, ovf) = st
+        pos = x + 1 + t
+        in_len = pos < qlen
+        c = qseq[lane, jnp.clip(pos, 0, L - 1)]
+        stop_a = alive & (~in_len | (c > 3))  # N/boundary: append ik, stop
+        nx0, nx1, nsz = _extend_device(
+            ckpt, words, L2, x0, x1, s, primary, seq_len, is_back=False
+        )
+        ci = 3 - jnp.clip(c, 0, 3)
+        ex0 = nx0[lane, ci]
+        ex1 = nx1[lane, ci]
+        es = nsz[lane, ci]
+        changed = alive & ~stop_a & (es != s)
+        small = es < min_intv
+        append = stop_a | changed
+        idx = jnp.clip(cnt, 0, K_SLOTS - 1)
+        old = lambda r: r[lane, idx]
+        put = lambda r, v: r.at[lane, idx].set(jnp.where(append, v, old(r)))
+        rx0, rx1, rs, rinfo = (
+            put(rx0, x0), put(rx1, x1), put(rs, s), put(rinfo, info),
+        )
+        ovf = ovf | (append & (cnt >= K_SLOTS))
+        cnt = cnt + append.astype(jnp.int32)
+        ret = jnp.where(append, info, ret)
+        cont = alive & ~stop_a & ~(changed & small)
+        x0 = jnp.where(cont, ex0, x0)
+        x1 = jnp.where(cont, ex1, x1)
+        s = jnp.where(cont, es, s)
+        info = jnp.where(cont, pos + 1, info).astype(jnp.int32)
+        return (t + 1, cont, x0, x1, s, info, rx0, rx1, rs, rinfo, cnt, ret,
+                ovf)
+
+    st = (
+        jnp.int32(0), ~bad0, ik_x0, ik_x1, ik_s, ik_info,
+        zK, zK, zK, zK, z, (x + 1).astype(jnp.int32), jnp.zeros(B, bool),
+    )
+    (_, _, _, _, _, _, rx0, rx1, rs, rinfo, cnt, ret, ovf) = (
+        jax.lax.while_loop(fwd_cond, fwd_body, st)
+    )
+
+    # ------------- backward pass: K-slot scan per backward position -------
+    # prev slots in longest-first order = reversed record order
+    def rev(r):
+        sel = jnp.clip(cnt[:, None] - 1 - jnp.arange(K_SLOTS)[None, :], 0,
+                       K_SLOTS - 1)
+        return jnp.take_along_axis(r, sel, axis=1)
+
+    px0, px1, ps, pinfo = rev(rx0), rev(rx1), rev(rs), rev(rinfo)
+    pcnt = cnt
+
+    mems = dict(x0=zK, x1=zK, s=zK, qb=zK, qe=zK)
+    m_cnt = z
+    last_qb = jnp.full(B, jnp.int32(1 << 30))
+
+    def bwd_cond(st):
+        return st[1].any()
+
+    def bwd_body(st):
+        (t, lane_alive, px0, px1, ps, pinfo, pcnt, mx0, mx1, ms, mqb, mqe,
+         m_cnt, last_qb, ovf) = st
+        i = x - 1 - t
+        cc = qseq[lane, jnp.clip(i, 0, L - 1)]
+        have_c = lane_alive & (i >= 0) & (cc <= 3)
+        c_idx = jnp.clip(cc, 0, 3)
+
+        def slot(j, carry):
+            (cx0, cx1, cs, cinfo, ccnt, last_s, mx0, mx1, ms, mqb, mqe,
+             m_cnt, last_qb, ovf) = carry
+            valid = lane_alive & (j < pcnt)
+            p_x0, p_x1, p_s, p_info = (
+                px0[:, j], px1[:, j], ps[:, j], pinfo[:, j],
+            )
+            nx0, nx1, nsz = _extend_device(
+                ckpt, words, L2, p_x0, p_x1, p_s, primary, seq_len,
+                is_back=True,
+            )
+            ex0 = nx0[lane, c_idx]
+            ex1 = nx1[lane, c_idx]
+            es = nsz[lane, c_idx]
+            dead = valid & (~have_c | (es < min_intv))
+            emit = dead & (ccnt == 0) & ((m_cnt == 0) | (i + 1 < last_qb))
+            midx = jnp.clip(m_cnt, 0, K_SLOTS - 1)
+            putm = lambda r, v: r.at[lane, midx].set(
+                jnp.where(emit, v, r[lane, midx])
+            )
+            mx0, mx1, ms = putm(mx0, p_x0), putm(mx1, p_x1), putm(ms, p_s)
+            mqb, mqe = putm(mqb, i + 1), putm(mqe, p_info)
+            ovf = ovf | (emit & (m_cnt >= K_SLOTS))
+            last_qb = jnp.where(emit, i + 1, last_qb)
+            m_cnt = m_cnt + emit.astype(jnp.int32)
+            keep = valid & ~dead & ((ccnt == 0) | (es != last_s))
+            cidx = jnp.clip(ccnt, 0, K_SLOTS - 1)
+            putc = lambda r, v: r.at[lane, cidx].set(
+                jnp.where(keep, v, r[lane, cidx])
+            )
+            cx0, cx1, cs = putc(cx0, ex0), putc(cx1, ex1), putc(cs, es)
+            cinfo = putc(cinfo, p_info)
+            last_s = jnp.where(keep, es, last_s)
+            ccnt = ccnt + keep.astype(jnp.int32)
+            return (cx0, cx1, cs, cinfo, ccnt, last_s, mx0, mx1, ms, mqb,
+                    mqe, m_cnt, last_qb, ovf)
+
+        carry0 = (zK, zK, zK, zK, z, z, mx0, mx1, ms, mqb, mqe, m_cnt,
+                  last_qb, ovf)
+        (cx0, cx1, cs, cinfo, ccnt, _ls, mx0, mx1, ms, mqb, mqe, m_cnt,
+         last_qb, ovf) = jax.lax.fori_loop(0, K_SLOTS, slot, carry0)
+        lane_alive = lane_alive & (ccnt > 0) & (i > -1)
+        return (t + 1, lane_alive, cx0, cx1, cs, cinfo, ccnt, mx0, mx1, ms,
+                mqb, mqe, m_cnt, last_qb, ovf)
+
+    st = (
+        jnp.int32(0), (~bad0) & (pcnt > 0), px0, px1, ps, pinfo, pcnt,
+        mems["x0"], mems["x1"], mems["s"], mems["qb"], mems["qe"], m_cnt,
+        last_qb, ovf,
+    )
+    (_, _, _, _, _, _, _, mx0, mx1, ms, mqb, mqe, m_cnt, _lqb, ovf) = (
+        jax.lax.while_loop(bwd_cond, bwd_body, st)
+    )
+    return ret, mx0, mx1, ms, mqb, mqe, m_cnt, ovf
+
+
+def smem1a_batch(dfm: DeviceFMIndex, qseq, qlen, x, min_intv):
+    return smem1a_batch_kernel(
+        dfm.ckpt, dfm.words, dfm.L2, qseq, qlen, x, min_intv,
+        dfm.primary, dfm.seq_len,
+    )
