@@ -39,6 +39,8 @@ def timeit(fn, n=3):
 def _pull(out):
     if isinstance(out, dict):
         out = next(iter(out.values()))
+    elif isinstance(out, (tuple, list)):
+        out = out[0]
     return int(np.asarray(out).ravel()[0])
 
 
@@ -55,6 +57,8 @@ def main():
     from bwamem_tpu.utils.fasta import Fasta, FastaContig
 
     print("devices:", jax.devices(), flush=True)
+    results = {"platform": jax.devices()[0].platform,
+               "device": str(jax.devices()[0])}
     opt = MemOptions()
     mat5 = jnp.asarray(np.asarray(opt.mat, dtype=np.int32).reshape(5, 5))
     kw = dict(o_del=6, e_del=1, o_ins=6, e_ins=1, zdrop=100, max_sc=1)
@@ -71,8 +75,12 @@ def main():
         cells = B * Q * T
         dt = timeit(lambda: ksw_extend_batch(*args, **kw))
         print(f"extend scan   B={B}: {dt*1e3:7.1f}ms {cells/dt/1e9:7.2f} GCUPS", flush=True)
+        results["extend_scan_ms"] = round(dt * 1e3, 2)
+        results["extend_scan_gcups"] = round(cells / dt / 1e9, 3)
         dt = timeit(lambda: ksw_extend_pallas(*args, **kw, b_tile=512))
         print(f"extend pallas B={B}: {dt*1e3:7.1f}ms {cells/dt/1e9:7.2f} GCUPS", flush=True)
+        results["extend_pallas_ms"] = round(dt * 1e3, 2)
+        results["extend_pallas_gcups"] = round(cells / dt / 1e9, 3)
 
     # occ4 batched rank queries over a 1 Mbp index
     codes = rng.integers(0, 4, 1_000_000).astype(np.uint8)
@@ -84,6 +92,31 @@ def main():
         )
         dt = timeit(lambda: occ4(dfm, ks))
         print(f"occ4 N={NQ}: {dt*1e3:7.2f}ms {NQ/dt/1e6:7.1f} Mquery/s", flush=True)
+        results[f"occ4_{NQ}_ms"] = round(dt * 1e3, 3)
+        results[f"occ4_{NQ}_mquery_s"] = round(NQ / dt / 1e6, 2)
+
+    # full bwt_smem1a device seeding (one round-1 wave, 150bp reads)
+    from bwamem_tpu.ops.smem_tpu import smem1a_batch
+    B2, L2v = 1024, 150
+    reads = np.empty((B2, L2v), dtype=np.int32)
+    for i in range(B2):
+        s0 = int(rng.integers(0, 1_000_000 - L2v))
+        reads[i] = codes[s0 : s0 + L2v]
+    qs = jnp.asarray(reads)
+    qls = jnp.full(B2, L2v, jnp.int32)
+    xs = jnp.zeros(B2, jnp.int32)
+    mi = jnp.ones(B2, jnp.int32)
+    dt = timeit(lambda: smem1a_batch(dfm, qs, qls, xs, mi))
+    print(f"smem1a wave B={B2}: {dt*1e3:7.1f}ms {B2/dt:7.0f} starts/s", flush=True)
+    results["smem1a_wave_ms"] = round(dt * 1e3, 2)
+    results["smem1a_starts_per_s"] = round(B2 / dt, 1)
+
+    if "--json" in sys.argv:
+        import json
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as fh:
+            json.dump(results, fh)
+        print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,127 @@
+"""Reference `.img` (bwa_idx2mem blob) interop tests.
+
+The blob layout is pinned by bwa.c's bwa_idx2mem/bwa_mem2idx at the
+reference's engine commit (written via jnibwa_createIndexFile,
+jnibwa.c:126-152).  Our writer/reader pair round-trips it, BwaMemIndex
+auto-detects the format on open, and alignment through a blob-opened index
+reproduces the golden values.
+"""
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_RESOURCES
+
+from bwamem_tpu.api import BwaMemAligner, BwaMemIndex
+from bwamem_tpu.index import bwa_img, bwtfile, image
+from bwamem_tpu.index.build import build_index
+from bwamem_tpu.utils.fasta import Fasta, FastaContig
+
+READ_L1 = b"GGCTTTTAATGCTTTTCAGTGGTTGCTGCTCAAGATGGAGTCTACTCAGCAGATGGTAAGCTCTATTATT"
+
+
+@pytest.fixture(scope="module")
+def rota_idx():
+    return bwtfile.read_index_files(f"{REFERENCE_RESOURCES}/ref.fa")
+
+
+def test_blob_round_trip(rota_idx, tmp_path):
+    p = str(tmp_path / "ref.img")
+    bwa_img.write_bwa_image(p, rota_idx)
+    back = bwa_img.read_bwa_image(p)
+    assert back.bwt.primary == rota_idx.bwt.primary
+    assert np.array_equal(back.bwt.L2, rota_idx.bwt.L2)
+    assert back.bwt.seq_len == rota_idx.bwt.seq_len
+    assert back.bwt.sa_intv == rota_idx.bwt.sa_intv
+    assert np.array_equal(back.bwt.bwt, rota_idx.bwt.bwt)
+    assert np.array_equal(back.bwt.sa, rota_idx.bwt.sa)
+    assert np.array_equal(back.pac, rota_idx.pac)
+    assert back.bns.l_pac == rota_idx.bns.l_pac
+    assert back.bns.seed == rota_idx.bns.seed
+    assert [(a.name, a.offset, a.length, a.n_ambs, a.is_alt)
+            for a in back.bns.anns] == [
+        (a.name, a.offset, a.length, a.n_ambs, a.is_alt)
+        for a in rota_idx.bns.anns
+    ]
+    assert [(h.offset, h.length, h.amb) for h in back.bns.ambs] == [
+        (h.offset, h.length, h.amb) for h in rota_idx.bns.ambs
+    ]
+
+
+def test_blob_layout_constants(rota_idx, tmp_path):
+    """Byte-level spot checks against the C struct layout (x86-64 LP64)."""
+    p = str(tmp_path / "ref.img")
+    bwa_img.write_bwa_image(p, rota_idx)
+    raw = open(p, "rb").read()
+    bwt = rota_idx.bwt
+    # header fields at their bwt_t offsets
+    assert int.from_bytes(raw[0:8], "little") == bwt.primary
+    assert int.from_bytes(raw[48:56], "little") == bwt.seq_len
+    assert int.from_bytes(raw[56:64], "little") == len(bwt.bwt)
+    assert int.from_bytes(raw[1104:1112], "little") == bwt.n_sa
+    # total size: bwt_t + words + sa + bntseq_t + ambs + anns + strings + pac
+    strings = sum(
+        len(a.name) + 1 + len(a.anno or "") + 1 for a in rota_idx.bns.anns
+    )
+    expect = (
+        bwa_img.BWT_T_SIZE + len(bwt.bwt) * 4 + bwt.n_sa * 8
+        + bwa_img.BNTSEQ_T_SIZE
+        + len(rota_idx.bns.ambs) * bwa_img.BNTAMB1_T_SIZE
+        + len(rota_idx.bns.anns) * bwa_img.BNTANN1_T_SIZE
+        + strings + rota_idx.bns.l_pac // 4 + 1
+    )
+    assert len(raw) == expect
+
+
+def test_open_blob_via_api_and_align(rota_idx, tmp_path):
+    """BwaMemIndex auto-detects the blob format and aligns the golden."""
+    p = str(tmp_path / "ref.img")
+    bwa_img.write_bwa_image(p, rota_idx)
+    idx = BwaMemIndex(p)
+    try:
+        assert idx.contig_names == ["rotavirus"]
+        r = BwaMemAligner(idx).align_seqs([READ_L1])[0][0]
+        assert (r.ref_start, r.cigar, r.n_mismatches, r.sam_flag) == (
+            0, "70M", 0, 0,
+        )
+    finally:
+        idx.close()
+
+
+def test_alt_flag_survives_blob(tmp_path):
+    rng = np.random.default_rng(5)
+    idx = build_index(Fasta([
+        FastaContig("a", "", rng.integers(0, 4, 400).astype(np.uint8)),
+        FastaContig("b_alt", "", rng.integers(0, 4, 300).astype(np.uint8)),
+    ]))
+    idx.bns.anns[1].is_alt = 1
+    p = str(tmp_path / "alt.img")
+    bwa_img.write_bwa_image(p, idx)
+    back = bwa_img.read_bwa_image(p)
+    assert back.bns.anns[0].is_alt == 0 and back.bns.anns[1].is_alt == 1
+
+
+def test_sniffer_rejects_other_formats(rota_idx, tmp_path):
+    ours = str(tmp_path / "ours.img")
+    image.write_image(ours, rota_idx)
+    assert not bwa_img.looks_like_bwa_image(ours)
+    junk = tmp_path / "junk.img"
+    junk.write_bytes(b"\x01" * 4096)
+    assert not bwa_img.looks_like_bwa_image(str(junk))
+    blob = str(tmp_path / "blob.img")
+    bwa_img.write_bwa_image(blob, rota_idx)
+    assert bwa_img.looks_like_bwa_image(blob)
+    # and our own format still opens through the same constructor
+    idx = BwaMemIndex(ours)
+    idx.close()
+
+
+def test_create_bwa_image_file_from_index_files(tmp_path):
+    out = str(tmp_path / "exported.img")
+    BwaMemIndex.create_bwa_image_file(
+        f"{REFERENCE_RESOURCES}/ref.fa", out
+    )
+    idx = BwaMemIndex(out)
+    try:
+        assert idx.contig_names == ["rotavirus"]
+    finally:
+        idx.close()
