@@ -10,8 +10,65 @@ surface on top of the same engine so results can be diffed against
 from __future__ import annotations
 
 import argparse
-import itertools
 import sys
+
+
+
+class _Prefetcher:
+    """Double-buffered chunk reader: the next chunk is parsed on a
+    background thread while the current one aligns ([EXT] kt_pipeline's
+    read/process overlap in mem_process_seqs' driver)."""
+
+    def __init__(self, make_chunk):
+        import queue as _queue
+        import threading as _threading
+
+        self._q = _queue.Queue(maxsize=1)
+        self._done = object()
+
+        def run():
+            while True:
+                chunk = make_chunk()
+                if not chunk:
+                    self._q.put(self._done)
+                    return
+                self._q.put(chunk)
+
+        self._t = _threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item
+
+
+def _chunker(stream, chunk_bases: int, paired: bool):
+    """Group reads by total base count ([EXT] mem_process_seqs chunking:
+    actual_chunk_size bases per batch, pairs never split)."""
+
+    def make_chunk():
+        out = []
+        bases = 0
+        step = 2 if paired else 1
+        while bases < chunk_bases:
+            try:
+                if paired:
+                    r1 = next(stream[0])
+                    r2 = next(stream[1])
+                    out.append((r1, r2))
+                    bases += len(r1.seq) + len(r2.seq)
+                else:
+                    r = next(stream)
+                    out.append(r)
+                    bases += len(r.seq)
+            except StopIteration:
+                break
+        return out
+
+    return _Prefetcher(make_chunk)
 
 
 def cmd_index(args) -> int:
@@ -56,6 +113,8 @@ def cmd_mem(args) -> int:
         opt.T = args.T
     if args.k is not None:
         opt.min_seed_len = args.k
+    if args.threads is not None:
+        opt.n_threads = args.threads
     out = sys.stdout
     out.write(sam_header(index._require().idx.bns.anns))
     eng = index._require()
@@ -68,12 +127,11 @@ def cmd_mem(args) -> int:
             )
         it1 = read_fastx(args.reads)
         it2 = read_fastx(args.mates)
-        stream = ((a, b) for a, b in zip(it1, it2))
+        if args.chunk_size:
+            opt.chunk_size = args.chunk_size
+        chunk_bases = opt.chunk_size * max(opt.n_threads, 1)
         n_done = 0
-        while True:
-            batch = list(itertools.islice(stream, args.batch // 2))
-            if not batch:
-                break
+        for batch in _chunker((it1, it2), chunk_bases, paired=True):
             reads = []
             for r1, r2 in batch:
                 reads.append(r1)
@@ -101,11 +159,11 @@ def cmd_mem(args) -> int:
             print(f"[bwamem_tpu] processed {n_done} reads", file=sys.stderr)
     else:
         stream = read_fastx(args.reads)
+        if args.chunk_size:
+            opt.chunk_size = args.chunk_size
+        chunk_bases = opt.chunk_size * max(opt.n_threads, 1)
         n_done = 0
-        while True:
-            batch = list(itertools.islice(stream, args.batch))
-            if not batch:
-                break
+        for batch in _chunker(stream, chunk_bases, paired=False):
             codes = [seq_to_codes(r.seq) for r in batch]
             regs_all = align_regs_batch(opt, eng, codes)
             for i, (r, regs) in enumerate(zip(batch, regs_all)):
@@ -141,7 +199,12 @@ def main(argv=None) -> int:
     p_mem.add_argument("mates", nargs="?", default=None)
     p_mem.add_argument("-T", type=int, default=None, help="score threshold")
     p_mem.add_argument("-k", type=int, default=None, help="min seed length")
-    p_mem.add_argument("--batch", type=int, default=20000)
+    p_mem.add_argument(
+        "-K", "--chunk-size", type=int, default=None,
+        help="bases per processing chunk (mem_process_seqs chunk_size; "
+             "default: the option's 10Mbp x n_threads)",
+    )
+    p_mem.add_argument("-t", "--threads", type=int, default=None)
     p_mem.add_argument("--insert-mean", type=float, default=None)
     p_mem.add_argument("--insert-std", type=float, default=50.0)
     p_mem.set_defaults(func=cmd_mem)
