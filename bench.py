@@ -1,16 +1,21 @@
 """End-to-end alignment benchmark (driver contract: ONE JSON line).
 
-Measures reads/s through the public aligner surface on a synthetic
-bacterial-scale reference with 150bp paired-end reads — the shape of
-BASELINE.json's "paired-end 150bp vs E. coli K-12" config, sized to finish
-fast.  The TPU chip accelerates the extension/occ device kernels as the
-pipeline adopts them; this number is the honest full-pipeline throughput
-(host orchestration included), not a kernel-only figure.
+Measures reads/s through the public aligner surface on a REPEAT-RICH
+synthetic reference (utils/synth.py: interspersed repeat families,
+segmental duplications, tandem repeats, homopolymers, N gaps — the input
+class that actually stresses an FM-index aligner) with 150bp paired-end
+reads.
 
-vs_baseline: ratio against a single bwa-mem CPU thread's typical ~5k
-reads/s on 150bp PE (no number is published in the reference repo —
-BASELINE.md documents the absence; 5k/thread is the accepted ballpark for
-bwa-mem 0.7.x on modern cores).
+Configs (BENCH_CONFIG):
+  ecoli (default) — 4.6 Mbp, the BASELINE.json "paired-end 150bp vs
+                    E. coli K-12" shape;
+  chr20           — 64 Mbp, the "GRCh38 chr20" scale config.
+BENCH_PAIRS=N scales the read count.
+
+The built index image is cached in /tmp keyed by (config, seed) so
+repeated runs skip construction.  vs_baseline: ratio against one bwa-mem
+CPU thread's typical ~5k reads/s on 150bp PE (the reference publishes no
+numbers — BASELINE.md documents the absence).
 """
 import json
 import os
@@ -23,50 +28,41 @@ import numpy as np
 
 BASELINE_READS_PER_SEC = 5000.0  # one bwa-mem thread, 150bp PE (ballpark)
 
+CONFIGS = {
+    "ecoli": dict(ref_len=4_600_000, n_pairs=6000),
+    "chr20": dict(ref_len=64_000_000, n_pairs=6000),
+}
+
 
 def main():
     from bwamem_tpu import BwaMemAligner, BwaMemIndex, BwaMemPairEndStats
     from bwamem_tpu.index.build import build_index
     from bwamem_tpu.index import image
     from bwamem_tpu.utils.fasta import Fasta, FastaContig
+    from bwamem_tpu.utils.synth import simulate_pairs, synthetic_genome
 
-    rng = np.random.default_rng(1234)
-    ref_len = 500_000
-    codes = rng.integers(0, 4, ref_len).astype(np.uint8)
-    fa = Fasta([FastaContig("chr", "", codes)])
-    idx_obj = build_index(fa)
-    img = "/tmp/bench_ref.img"
-    image.write_image(img, idx_obj)
+    cfg_name = os.environ.get("BENCH_CONFIG", "ecoli")
+    cfg = CONFIGS[cfg_name]
+    seed = 1234
+    rng = np.random.default_rng(seed)
+    ref_len = cfg["ref_len"]
+    codes = synthetic_genome(ref_len, rng)
+
+    img = f"/tmp/bench_ref_{cfg_name}_{seed}.img"
+    if not os.path.exists(img):
+        idx_obj = build_index(Fasta([FastaContig("chr", "", codes)]))
+        image.write_image(img, idx_obj)
 
     index = BwaMemIndex(img)
     aligner = BwaMemAligner(index)
     aligner.align_pairs()
     aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
 
-    # simulate proper FR pairs with 0.5% errors
-    def simulate(n):
-        reads = []
-        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-        for _ in range(n):
-            isize = int(rng.normal(350, 35))
-            isize = max(200, min(isize, 500))
-            start = int(rng.integers(0, ref_len - isize - 1))
-            r1 = codes[start : start + 150].copy()
-            r2 = codes[start + isize - 150 : start + isize].copy()
-            r2 = (3 - r2)[::-1].copy()
-            for r in (r1, r2):
-                nerr = rng.binomial(150, 0.005)
-                for p in rng.integers(0, 150, nerr):
-                    r[p] = (r[p] + 1 + rng.integers(0, 3)) % 4
-            reads.append(bases[r1].tobytes())
-            reads.append(bases[r2].tobytes())
-        return reads
+    read_rng = np.random.default_rng(seed + 1)
+    aligner.align_seqs(simulate_pairs(codes, read_rng, 8))  # warm caches
 
-    warm = simulate(8)
-    aligner.align_seqs(warm)  # warm caches/compiles
-
-    n_pairs = int(os.environ.get("BENCH_PAIRS", "6000"))
-    reads = simulate(n_pairs)
+    n_pairs = int(os.environ.get("BENCH_PAIRS", str(cfg["n_pairs"])))
+    reads = simulate_pairs(codes, read_rng, n_pairs)
     n_reads = len(reads)
     rate = 0.0
     results = None
@@ -81,7 +77,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "reads_per_sec_chip_150bp_pe",
+                "metric": f"reads_per_sec_chip_150bp_pe_{cfg_name}",
                 "value": round(rate, 2),
                 "unit": "reads/s",
                 "vs_baseline": round(rate / BASELINE_READS_PER_SEC, 4),
