@@ -49,3 +49,11 @@ __all__ = [
     "MEM_F_SMARTPE",
     "MEM_F_PRIMARY5",
 ]
+
+
+def metrics():
+    """Process-wide structured metrics snapshot (counters + stage timers);
+    see utils/metrics.py for the env-gated dump/trace hooks."""
+    from .utils import metrics as _m
+
+    return _m.snapshot()

@@ -149,6 +149,16 @@ class BwaMemAligner:
         return [[_aln_to_record(p, m) for p, m in per_read] for per_read in raw]
 
     def align_seqs_raw(self, sequences: List[bytes]):
+        from ..utils import metrics as _metrics
+
+        with _metrics.batch_scope():
+            out = self._align_seqs_raw_inner(sequences)
+            _metrics.count("batches")
+            _metrics.count("reads", len(sequences))
+            _metrics.count("records", sum(len(r) for r in out))
+        return out
+
+    def _align_seqs_raw_inner(self, sequences: List[bytes]):
         """Align; returns per read a list of (Aln, mate Aln|None) engine
         records — the substrate for both the object API and the binary wire
         codec (api/wire.py)."""

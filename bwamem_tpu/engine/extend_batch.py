@@ -170,11 +170,17 @@ def _run_kernel(opt: MemOptions, jobs, bonuses, ws, h0s):
     """
     import os
 
+    from ..utils import metrics as _metrics
+
     n = len(jobs)
     use_device = (
         os.environ.get("BWAMEM_TPU_DEVICE_EXTEND") == "1"
         and n >= HOST_FALLBACK_JOBS
     )
+    _metrics.count("extend_waves")
+    if use_device:
+        _metrics.count("device_extend_waves")
+        _metrics.count("device_extend_jobs", n)
     if not use_device:
         from . import native_ksw
 

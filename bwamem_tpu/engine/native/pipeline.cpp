@@ -786,6 +786,65 @@ static void fetch_clamp(const Bns& bns, int64_t mid, int64_t* beg,
   *end = std::min(*end, far_end);
 }
 
+// [EXT] mem_seed_sw (engine/chain.py::_seed_sw): local SW around a short
+// seed to judge whether it can support a decent alignment; -1 = trusted.
+static int64_t seed_sw(const FullOpt& o, const Bns& bns, int64_t qlen,
+                       const uint8_t* query, const Seed& s,
+                       std::vector<uint8_t>& refbuf) {
+  constexpr int64_t MEM_SHORT_EXT = 50, MEM_SHORT_LEN = 200;
+  if (s.len >= MEM_SHORT_LEN) return -1;
+  int64_t l_pac = bns.l_pac;
+  int64_t qb = s.qbeg, qe = s.qbeg + s.len;
+  int64_t rb = s.rbeg, re = s.rbeg + s.len;
+  int64_t mid = (rb + re) >> 1;
+  qb = std::max(qb - MEM_SHORT_EXT, (int64_t)0);
+  qe = std::min(qe + MEM_SHORT_EXT, qlen);
+  rb = std::max(rb - MEM_SHORT_EXT, (int64_t)0);
+  re = std::min(re + MEM_SHORT_EXT, l_pac << 1);
+  if (rb < l_pac && l_pac < re) {
+    if (mid < l_pac)
+      re = l_pac;
+    else
+      rb = l_pac;
+  }
+  // window guard is opt.w<<2 ([EXT] mem_seed_sw)
+  if (qe - qb >= o.i(OI_W) << 2 || re - rb >= o.i(OI_W) << 2) return -1;
+  int64_t rid;
+  fetch_clamp(bns, mid, &rb, &re, &rid);
+  refbuf.resize(re - rb);
+  bns.get_seq(rb, re, refbuf.data());
+  SwHit hit = sw_local(o.mat, query + qb, qe - qb, refbuf.data(), re - rb,
+                       o.i(OI_O_DEL), o.i(OI_E_DEL), o.i(OI_O_INS),
+                       o.i(OI_E_INS), (qe - qb) * o.i(OI_A));
+  return hit.score;
+}
+
+// [EXT] mem_flt_chained_seeds (engine/chain.py::flt_chained_seeds):
+// a no-op below ~700bp (the 0.05*qlen guard); SW-filters weak seeds on
+// the long-read/chimeric path.
+static void flt_chained_seeds(const FullOpt& o, const Bns& bns, int64_t qlen,
+                              const uint8_t* query,
+                              std::vector<Chain>& chains,
+                              std::vector<uint8_t>& refbuf) {
+  double min_l = o.i(OI_MIN_CHAIN_WEIGHT)
+                     ? 1.1 * (double)o.i(OI_MIN_CHAIN_WEIGHT)
+                     : 5.5 * std::log((double)qlen);
+  int64_t min_hsp_score = (int64_t)((double)o.i(OI_A) * min_l + 0.499);
+  if (min_l > 0.05 * (double)qlen) return;
+  for (Chain& c : chains) {
+    std::vector<Seed> kept;
+    kept.reserve(c.seeds.size());
+    for (Seed& s : c.seeds) {
+      int64_t score = seed_sw(o, bns, qlen, query, s, refbuf);
+      if (score < 0 || score >= min_hsp_score) {
+        s.score = score < 0 ? s.len * o.i(OI_A) : score;
+        kept.push_back(s);
+      }
+    }
+    c.seeds = std::move(kept);
+  }
+}
+
 // [EXT] mem_matesw (engine/pair.py::matesw)
 static int64_t matesw(const FullOpt& o, const Bns& bns, const PeStat pes[4],
                       const RegT& a, const uint8_t* mseq, int64_t l_ms,
@@ -1109,6 +1168,8 @@ void bwamem_pipeline_batch(
       build_chains(core_o, bns, rlen[i], intv + intv_off[i] * 5, n_intv[i],
                    rbegs, rbeg_off + intv_off[i], n_rbeg + intv_off[i],
                    chains);
+      std::vector<uint8_t> refbuf;
+      flt_chained_seeds(o, bns, rlen[i], rbuf + roff[i], chains, refbuf);
       std::vector<Reg> raw;
       std::vector<uint8_t> rseq_buf, rev_buf;
       std::vector<int8_t> alive;

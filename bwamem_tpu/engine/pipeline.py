@@ -204,10 +204,9 @@ def native_pipeline_ok(eng, reads) -> bool:
         return False  # mesh / device-wave routing stays on the wave path
     if os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1":
         return False  # device SMEM seeding routes through align_regs_batch
-    max_qlen = max((len(r) for r in reads), default=0)
-    return (
-        max_qlen < 500 and eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
-    )
+    # all read lengths supported: the native tail carries the long-read
+    # stages too (mem_flt_chained_seeds / mem_seed_sw in pipeline.cpp)
+    return eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
 
 
 def _align_regs_batch_native(opt, eng, reads, TIMERS):

@@ -74,6 +74,9 @@ def collect_intv_batch_device(
     fallback = np.zeros(n, dtype=bool)
 
     def run_smem_wave(x_arr, min_arr, collect_into, lane_to_read):
+        from ..utils import metrics as _metrics
+
+        _metrics.count("device_seed_waves")
         ret, mx0, mx1, ms, mqb, mqe, mcnt, ovf = smem1a_batch(
             dfm, qseq, qlen_j, jnp.asarray(x_arr, dtype=jnp.int32),
             jnp.asarray(min_arr, dtype=jnp.int32),

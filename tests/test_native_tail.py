@@ -236,3 +236,38 @@ def test_se_fuzz_heavy_errors(rota_img):
         _assert_equal(native, oracle)
     finally:
         idx.close()
+
+
+def test_long_reads_native_tail(rota_img):
+    """Long/chimeric reads (the mem_flt_chained_seeds regime) through the
+    native pipeline match the oracle record-for-record."""
+    idx = BwaMemIndex(rota_img)
+    rota = bwtfile.read_index_files(f"{REFERENCE_RESOURCES}/ref.fa")
+    fwd = rota.get_seq(0, rota.bns.l_pac)
+    rng = np.random.default_rng(77)
+    reads = []
+    # rotavirus is 1074bp; build 700-1000bp reads incl. chimeras and indels
+    for _ in range(25):
+        L = int(rng.integers(700, 1000))
+        s = int(rng.integers(0, len(fwd) - L))
+        r = fwd[s : s + L].copy()
+        for p in rng.integers(0, L, rng.binomial(L, 0.02)):
+            r[p] = (r[p] + 1 + rng.integers(0, 3)) % 4
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, len(r)))
+            if rng.integers(0, 2):
+                r = np.delete(r, slice(p, p + int(rng.integers(1, 8))))
+            else:
+                r = np.insert(r, p, rng.integers(0, 4, int(rng.integers(1, 8))))
+        reads.append(BASES[np.minimum(r, 3)].tobytes())
+    for _ in range(10):  # chimeric: half fwd, half revcomp of another locus
+        a = fwd[0:380]
+        b = (3 - fwd[600:980])[::-1]
+        r = np.concatenate([a, b])
+        reads.append(BASES[r].tobytes())
+    try:
+        native, oracle = _run_both(lambda: BwaMemAligner(idx), reads)
+        _assert_equal(native, oracle)
+        assert any(len(r) >= 700 for r in reads)
+    finally:
+        idx.close()
