@@ -10,6 +10,8 @@ from typing import List
 
 import numpy as np
 
+from ..utils.nativebuild import compile_shared
+
 from .extend import AlnReg
 from .native_chain import get_bns_arrays
 
@@ -50,11 +52,7 @@ def _ensure_built() -> bool:
                 (not os.path.exists(_LIB))
                 or os.path.getmtime(_LIB) < newest
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-fopenmp", "-o", _LIB, *_SRCS],
-                    check=True, capture_output=True,
-                )
+                compile_shared(list(_SRCS), _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_align_regs_batch.restype = None
             lib.bwamem_align_regs_batch.argtypes = [

@@ -9,6 +9,8 @@ from typing import List
 
 import numpy as np
 
+from ..utils.nativebuild import compile_shared
+
 from .seed import SmemIntv
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -44,11 +46,7 @@ def _ensure_built() -> bool:
                 (not os.path.exists(_LIB))
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-fopenmp", "-o", _LIB, _SRC],
-                    check=True, capture_output=True,
-                )
+                compile_shared([_SRC], _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_collect_intv_batch.restype = None
             lib.bwamem_collect_intv_batch.argtypes = [

@@ -9,6 +9,8 @@ from typing import List
 
 import numpy as np
 
+from ..utils.nativebuild import compile_shared
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "ksw.cpp")
 # BWAMEM_TPU_NATIVE_DIR: load prebuilt natives from this directory and
@@ -37,11 +39,7 @@ def _ensure_built() -> bool:
                 (not os.path.exists(_LIB))
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-fopenmp", "-o", _LIB, _SRC],
-                    check=True, capture_output=True,
-                )
+                compile_shared([_SRC], _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_ksw_extend_batch.restype = None
             lib.bwamem_ksw_extend_batch.argtypes = [

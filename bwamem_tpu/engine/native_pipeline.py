@@ -20,6 +20,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils.nativebuild import compile_shared
+
 from .finalize import Aln
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -78,11 +80,7 @@ def _ensure_built() -> bool:
                 (not os.path.exists(_LIB))
                 or os.path.getmtime(_LIB) < newest_src
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-fopenmp", "-o", _LIB, _SRC],
-                    check=True, capture_output=True,
-                )
+                compile_shared([_SRC], _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_buf_free.restype = None
             lib.bwamem_buf_free.argtypes = [ctypes.c_void_p]

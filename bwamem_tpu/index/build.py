@@ -18,6 +18,7 @@ files exactly like ``BwaMemIndex.createIndexImageFromIndexFiles``
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import List
 
@@ -131,8 +132,21 @@ class BwaIndex:
     bwt: BwtIndex
 
     # references up to this size keep an unpacked uint8 cache for O(slice)
-    # get_seq (1 byte/base; 256 Mbp -> 256 MB)
+    # get_seq (1 byte/base) — the zero-copy buffer behind the native fast
+    # paths.  Sized to the host: an eighth of physical RAM, at least 256 Mbp
+    # (GRCh38 needs ~3.1 GB on a >=25 GB host).  BWAMEM_TPU_UNPACK_MAX
+    # overrides (bytes).
     _UNPACK_CACHE_MAX = 256_000_000
+    try:
+        _UNPACK_CACHE_MAX = max(
+            _UNPACK_CACHE_MAX,
+            (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")) // 8,
+        )
+    except (ValueError, OSError, AttributeError):  # non-POSIX fallback
+        pass
+    _UNPACK_CACHE_MAX = int(
+        os.environ.get("BWAMEM_TPU_UNPACK_MAX", _UNPACK_CACHE_MAX)
+    )
 
     def get_seq(self, beg: int, end: int) -> np.ndarray:
         """Fetch codes for [beg, end) on the doubled 2*l_pac domain.

@@ -13,6 +13,8 @@ import threading
 
 import numpy as np
 
+from ..utils.nativebuild import compile_shared
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "sais.cpp")
 # BWAMEM_TPU_NATIVE_DIR: load prebuilt natives from this directory and
@@ -41,25 +43,20 @@ def _ensure_built() -> bool:
                 (not os.path.exists(_LIB))
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
             ):
-                subprocess.run(
-                    [
-                        "g++",
-                        "-O3",
-                        "-std=c++17",
-                        "-shared",
-                        "-fPIC",
-                        "-o",
-                        _LIB,
-                        _SRC,
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
+                compile_shared([_SRC], _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_sais.restype = ctypes.c_int
             lib.bwamem_sais.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.bwamem_bwt_from_sa.restype = ctypes.c_int
+            lib.bwamem_bwt_from_sa.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64),
             ]
             _lib = lib
@@ -95,3 +92,26 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise MemoryError("native SA-IS failed")
     return sa
+
+
+def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
+    """Stored-form BWT (sentinel row removed) + primary, via the native gather."""
+    if not _ensure_built():
+        raise RuntimeError("native SA-IS unavailable")
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    n = len(codes)
+    if len(sa) != n + 1:
+        raise ValueError("sa must have n+1 entries")
+    bwt = np.empty(n, dtype=np.uint8)
+    primary = ctypes.c_int64(-1)
+    rc = _lib.bwamem_bwt_from_sa(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(primary),
+    )
+    if rc != 0:
+        raise ValueError("sa has no row 0 (not a suffix array of codes+sentinel)")
+    return bwt, int(primary.value)

@@ -16,6 +16,8 @@ smaller than every symbol; length n+1 with SA[0] == n.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import native_sais
@@ -56,8 +58,16 @@ def suffix_array_numpy(codes: np.ndarray) -> np.ndarray:
 
 
 def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """SA of codes+sentinel. Uses the C++ SA-IS when available."""
+    """SA of codes+sentinel. Uses the C++ SA-IS when available.
+
+    BWAMEM_TPU_DEVICE_SA=1 routes construction through the on-device
+    prefix-doubling builder (ops/sa_tpu.py) — the right default on hosts
+    with a fast device link."""
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    if os.environ.get("BWAMEM_TPU_DEVICE_SA") == "1":
+        from ..ops.sa_tpu import suffix_array_device
+
+        return suffix_array_device(codes)
     if native_sais.available():
         return native_sais.suffix_array(codes)
     return suffix_array_numpy(codes)
@@ -75,6 +85,8 @@ def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     """
     n = len(codes)
     assert len(sa) == n + 1
+    if native_sais.available():
+        return native_sais.bwt_from_sa(codes, sa)
     primary = int(np.nonzero(sa == 0)[0][0])
     full_bwt_src = sa - 1  # char at codes[sa[i]-1]; row with sa[i]==0 is sentinel
     keep = sa != 0
