@@ -173,10 +173,14 @@ def _run_kernel(opt: MemOptions, jobs, bonuses, ws, h0s):
     from ..utils import metrics as _metrics
 
     n = len(jobs)
-    use_device = (
-        os.environ.get("BWAMEM_TPU_DEVICE_EXTEND") == "1"
-        and n >= HOST_FALLBACK_JOBS
-    )
+    env = os.environ.get("BWAMEM_TPU_DEVICE_EXTEND")
+    if env is None:
+        # unset: auto — big wave AND a fast (non-relay) device link
+        from ..utils import devlink
+
+        use_device = n >= HOST_FALLBACK_JOBS and devlink.device_extend_auto()
+    else:
+        use_device = env == "1" and n >= HOST_FALLBACK_JOBS
     _metrics.count("extend_waves")
     if use_device:
         _metrics.count("device_extend_waves")

@@ -84,11 +84,17 @@ def simulate_pairs(
     isize_mean: float = 350.0,
     isize_std: float = 35.0,
     err: float = 0.005,
+    return_truth: bool = False,
 ):
-    """Proper FR pairs with sequencing errors; returns base-string reads."""
+    """Proper FR pairs with sequencing errors; returns base-string reads.
+
+    With ``return_truth`` also returns, per read, the simulated
+    ``(ref_start, is_reverse)`` for coordinate audits at scales where no
+    golden oracle is practical."""
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     L = len(codes)
     reads = []
+    truth = []
     lo_ins = read_len + 40
     while len(reads) < 2 * n_pairs:
         isize = int(np.clip(rng.normal(isize_mean, isize_std), lo_ins, 3 * isize_mean))
@@ -103,4 +109,8 @@ def simulate_pairs(
                 r[p] = (r[p] + 1 + rng.integers(0, 3)) % 4
         reads.append(bases[r1].tobytes())
         reads.append(bases[r2].tobytes())
+        truth.append((start, False))
+        truth.append((start + isize - read_len, True))
+    if return_truth:
+        return reads, truth
     return reads

@@ -1,0 +1,92 @@
+"""Gigabase-regime coverage.
+
+The full 1.05 Gbp run lives in benchmarks/gbp_bench.py (artifact:
+BENCH_GBP_r{N}.json).  Here:
+
+  * the packed-reference regime (no unpacked cache — what a >RAM/8
+    reference falls back to) is pinned record-for-record against the
+    cached fast path on a small reference, and
+  * an env-gated midsize (320 Mbp) end-to-end build+align runs the same
+    code path the gigabase artifact uses (BWAMEM_TPU_SLOW_TESTS=1).
+
+Reference anchor: the engine must behave identically regardless of how
+reference bytes are fetched ([EXT] bns_get_seq reads the 2-bit pac
+directly; the unpacked cache is this repo's optimization only).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from bwamem_tpu import BwaMemAligner, BwaMemIndex, BwaMemPairEndStats
+from bwamem_tpu.index import image
+from bwamem_tpu.index.build import BwaIndex, build_index
+from bwamem_tpu.utils.fasta import Fasta, FastaContig
+from bwamem_tpu.utils.synth import simulate_pairs, synthetic_genome
+
+
+def _records(img_path, reads):
+    index = BwaMemIndex(img_path)
+    aligner = BwaMemAligner(index)
+    aligner.align_pairs()
+    aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
+    out = aligner.align_seqs(reads)
+    index.close()
+    return [
+        [
+            (
+                a.sam_flag, a.ref_id, a.ref_start, a.cigar, a.map_qual,
+                a.n_mismatches, a.aligner_score, a.md_tag, a.xa_tag,
+                a.mate_ref_start, a.template_len,
+            )
+            for a in recs
+        ]
+        for recs in out
+    ]
+
+
+def test_packed_reference_regime_matches_cached(tmp_path, monkeypatch):
+    """No-unpacked-cache alignment (the >RAM/8 fallback) is record-equal."""
+    rng = np.random.default_rng(17)
+    codes = synthetic_genome(300_000, rng)
+    idx = build_index(Fasta([FastaContig("c", "", codes)]))
+    img = str(tmp_path / "ref.img")
+    image.write_image(img, idx)
+    reads = simulate_pairs(codes, np.random.default_rng(18), 150)
+
+    cached = _records(img, reads)
+    monkeypatch.setattr(BwaIndex, "_UNPACK_CACHE_MAX", 0)
+    packed = _records(img, reads)
+    assert packed == cached
+
+
+@pytest.mark.skipif(
+    os.environ.get("BWAMEM_TPU_SLOW_TESTS") != "1",
+    reason="midsize scale run (minutes); set BWAMEM_TPU_SLOW_TESTS=1",
+)
+def test_midsize_320mbp_end_to_end(tmp_path):
+    rng = np.random.default_rng(23)
+    codes = synthetic_genome(320_000_000, rng)
+    idx = build_index(Fasta([FastaContig("c", "", codes)]))
+    img = str(tmp_path / "ref.img")
+    image.write_image(img, idx)
+    del idx
+    reads, truth = simulate_pairs(
+        codes, np.random.default_rng(24), 500, return_truth=True
+    )
+    index = BwaMemIndex(img)
+    aligner = BwaMemAligner(index)
+    aligner.align_pairs()
+    aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
+    results = aligner.align_seqs(reads)
+    index.close()
+    mapped = sum(1 for r in results if r and not (r[0].sam_flag & 0x4))
+    good = sum(
+        1
+        for recs, (pos, _rev) in zip(results, truth)
+        if recs
+        and not (recs[0].sam_flag & 0x4)
+        and abs(recs[0].ref_start - pos) <= 160
+    )
+    assert mapped >= 0.95 * len(reads)
+    assert good >= 0.90 * len(reads)
