@@ -106,6 +106,26 @@ def cmd_mem(args) -> int:
             print(f"[bwamem_tpu] building index image {img}...", file=sys.stderr)
             BwaMemIndex.create_index_image_from_fasta_file(ref, img)
         ref = img
+    # --shard I/N: embarrassingly-parallel cluster sharding — the pattern the
+    # reference documents for Spark/Yarn deployments (ship the image to every
+    # node, align disjoint read partitions, BwaMemIndex.java:22-27) as a
+    # first-class flag.  Interleaved assignment (read ordinal % N == I) with
+    # ids computed from the ORIGINAL stream ordinal, so hash-based tie-breaks
+    # (mem_mark_primary_se's Wang hash) are identical to the unsharded run
+    # and shard outputs merge to exactly the single-process SAM.
+    shard_i, shard_n = 0, 1
+    if getattr(args, "shard", None):
+        try:
+            shard_i, shard_n = (int(x) for x in args.shard.split("/"))
+            assert 0 <= shard_i < shard_n
+        except (ValueError, AssertionError):
+            print(f"[bwamem_tpu] bad --shard {args.shard!r} (want I/N)",
+                  file=sys.stderr)
+            return 2
+
+    def _take_shard(it):
+        return (r for j, r in enumerate(it) if j % shard_n == shard_i)
+
     index = BwaMemIndex(ref)
     aligner = BwaMemAligner(index)
     opt = aligner.options
@@ -125,8 +145,8 @@ def cmd_mem(args) -> int:
             aligner.set_proper_pair_end_stats(
                 BwaMemPairEndStats.of(args.insert_mean, args.insert_std)
             )
-        it1 = read_fastx(args.reads)
-        it2 = read_fastx(args.mates)
+        it1 = _take_shard(read_fastx(args.reads))
+        it2 = _take_shard(read_fastx(args.mates))
         if args.chunk_size:
             opt.chunk_size = args.chunk_size
         chunk_bases = opt.chunk_size * max(opt.n_threads, 1)
@@ -141,7 +161,7 @@ def cmd_mem(args) -> int:
             pes = aligner._resolve_pes(opt, eng, regs)
             for i, (r1, r2) in enumerate(batch):
                 alns0, alns1 = pair_mod.sam_pe(
-                    opt, eng, pes, n_done // 2 + i,
+                    opt, eng, pes, (n_done // 2 + i) * shard_n + shard_i,
                     (codes[2 * i], codes[2 * i + 1]),
                     [regs[2 * i], regs[2 * i + 1]],
                 )
@@ -158,7 +178,7 @@ def cmd_mem(args) -> int:
             n_done += len(reads)
             print(f"[bwamem_tpu] processed {n_done} reads", file=sys.stderr)
     else:
-        stream = read_fastx(args.reads)
+        stream = _take_shard(read_fastx(args.reads))
         if args.chunk_size:
             opt.chunk_size = args.chunk_size
         chunk_bases = opt.chunk_size * max(opt.n_threads, 1)
@@ -167,7 +187,7 @@ def cmd_mem(args) -> int:
             codes = [seq_to_codes(r.seq) for r in batch]
             regs_all = align_regs_batch(opt, eng, codes)
             for i, (r, regs) in enumerate(zip(batch, regs_all)):
-                mark_primary_se(opt, regs, n_done + i)
+                mark_primary_se(opt, regs, (n_done + i) * shard_n + shard_i)
                 if opt.flag & MEM_F_PRIMARY5:
                     finalize_mod.reorder_primary5(opt.T, regs)
                 alns = reg2sam_records(opt, eng, codes[i], regs)
@@ -207,6 +227,11 @@ def main(argv=None) -> int:
     p_mem.add_argument("-t", "--threads", type=int, default=None)
     p_mem.add_argument("--insert-mean", type=float, default=None)
     p_mem.add_argument("--insert-std", type=float, default=50.0)
+    p_mem.add_argument(
+        "--shard", default=None, metavar="I/N",
+        help="align only reads with ordinal %% N == I (cluster partitioning; "
+             "shard outputs merge to exactly the unsharded SAM)",
+    )
     p_mem.set_defaults(func=cmd_mem)
     args = ap.parse_args(argv)
     return args.func(args)

@@ -71,20 +71,36 @@ def write_image(path: str, idx: BwaIndex) -> None:
         ],
     }
     hdr_json = json.dumps(header).encode()
+    meta_bytes = b""
     if len(hdr_json) > HEADER_SIZE - len(MAGIC):
-        # huge contig counts: spill metadata into its own section
-        raise CouldNotCreateIndexImageException(
-            path, f"metadata too large ({len(hdr_json)} bytes); >4k contigs unsupported in v1 header"
-        )
+        # large contig/hole counts (many-contig FASTAs, gigabase genomes
+        # with hundreds of N gaps): spill anns/ambs into their own section
+        # and re-point the header at it (version 2).  Small indexes keep
+        # the v1 single-block header byte-for-byte.
+        meta_bytes = json.dumps(
+            {"anns": header.pop("anns"), "ambs": header.pop("ambs")}
+        ).encode()
+        header["version"] = 2
+        off = _align(off)
+        sections["meta"] = {"offset": off, "length": len(meta_bytes)}
+        off += len(meta_bytes)
+        hdr_json = json.dumps(header).encode()
+        if len(hdr_json) > HEADER_SIZE - len(MAGIC):
+            raise CouldNotCreateIndexImageException(
+                path, f"header too large ({len(hdr_json)} bytes)"
+            )
+    blobs = {"bwt": bwt_bytes, "sa": sa_bytes, "pac": pac_bytes, "meta": meta_bytes}
     try:
         with open(path, "wb") as fh:
             fh.write(MAGIC)
             fh.write(hdr_json.ljust(HEADER_SIZE - len(MAGIC), b"\x00"))
             pos = HEADER_SIZE
-            for name in ("bwt", "sa", "pac"):
+            for name in ("bwt", "sa", "pac", "meta"):
+                if name not in sections:
+                    continue
                 sec = sections[name]
                 fh.write(b"\x00" * (sec["offset"] - pos))
-                blob = {"bwt": bwt_bytes, "sa": sa_bytes, "pac": pac_bytes}[name]
+                blob = blobs[name]
                 for i in range(0, len(blob), WRITE_CHUNK):
                     fh.write(blob[i : i + WRITE_CHUNK])
                 pos = sec["offset"] + sec["length"]
@@ -110,6 +126,17 @@ def read_image(path: str) -> BwaIndex:
     for s in sec.values():
         if s["offset"] + s["length"] > size:
             raise CouldNotReadImageException(path, "truncated image")
+    if "meta" in sec:  # v2: anns/ambs spilled out of the header block
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(sec["meta"]["offset"])
+                meta = json.loads(fh.read(sec["meta"]["length"]).decode())
+        except (OSError, ValueError, UnicodeDecodeError) as exc:
+            raise CouldNotReadImageException(
+                path, f"corrupt metadata section: {exc}"
+            ) from exc
+        hdr["anns"] = meta["anns"]
+        hdr["ambs"] = meta["ambs"]
     bwt_arr = np.memmap(
         path, dtype="<u4", mode="r", offset=sec["bwt"]["offset"],
         shape=(sec["bwt"]["length"] // 4,),

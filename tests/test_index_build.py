@@ -139,3 +139,30 @@ def test_ambiguous_bases(tmp_path):
     assert (idx.bns.ambs[0].offset, idx.bns.ambs[0].length) == (4, 3)
     assert (idx.bns.ambs[1].offset, idx.bns.ambs[1].length) == (15, 1)
     assert idx.bns.anns[0].n_ambs == 2
+
+
+def test_image_v2_metadata_spill(tmp_path):
+    """Many-contig / many-hole indexes spill anns/ambs into a meta section
+    (v2) and round-trip exactly; small indexes keep the v1 header."""
+    from bwamem_tpu.index import image
+    from bwamem_tpu.utils.fasta import Fasta, FastaContig
+
+    rng = np.random.default_rng(3)
+    contigs = []
+    for i in range(300):  # ~300 contigs -> metadata >> 4 KiB header block
+        codes = rng.integers(0, 4, 120).astype(np.uint8)
+        codes[40:44] = 4  # an N hole per contig
+        contigs.append(FastaContig(f"ctg{i:04d}", f"anno {i}", codes))
+    idx = build_index(Fasta(contigs))
+    img = str(tmp_path / "many.img")
+    image.write_image(img, idx)
+    back = image.read_image(img)
+    assert [a.name for a in back.bns.anns] == [a.name for a in idx.bns.anns]
+    assert [(a.offset, a.length, a.n_ambs) for a in back.bns.anns] == [
+        (a.offset, a.length, a.n_ambs) for a in idx.bns.anns
+    ]
+    assert [(h.offset, h.length) for h in back.bns.ambs] == [
+        (h.offset, h.length) for h in idx.bns.ambs
+    ]
+    assert np.array_equal(np.asarray(back.bwt.bwt), idx.bwt.bwt)
+    assert np.array_equal(np.asarray(back.pac), np.asarray(idx.pac))

@@ -4,6 +4,7 @@ COUNT (not read count), chunk boundaries never split a pair, -K observably
 changes batching, and output is invariant to the chunking.
 """
 import io
+import os
 import subprocess
 import sys
 
@@ -36,9 +37,12 @@ def fastqs(tmp_path_factory):
 
 
 def _run_mem(args):
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, "-m", "bwamem_tpu", "mem", *args],
-        capture_output=True, text=True, timeout=280,
+        capture_output=True, text=True, timeout=280, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     sam = [l for l in r.stdout.splitlines() if not l.startswith("@")]
@@ -83,3 +87,45 @@ def test_chunks_group_by_bases_and_keep_pairs(fastqs):
     it = iter([R(50), R(400), R(400), R(50)])
     chunks = list(_chunker(it, 450, paired=False))
     assert [sum(len(r.seq) for r in c) for c in chunks] == [450, 450]
+
+
+def test_shard_outputs_merge_to_unsharded(fastqs, tmp_path):
+    """--shard I/N partitions work across processes (the reference's
+    documented Spark/Yarn cluster pattern, BwaMemIndex.java:22-27) with
+    ids computed from original stream ordinals, so the merged shard SAM
+    equals the single-process SAM line-for-line."""
+    d, fq1, fq2, n = fastqs
+    import shutil
+
+    fa = str(tmp_path / "ref.fa")
+    shutil.copy(f"{REFERENCE_RESOURCES}/ref.fa", fa)
+    # paired-end with caller-provided insert stats (inference is
+    # batch-composition-dependent by design; provided stats pin it)
+    full, _ = _run_mem([fa, fq1, fq2, "--insert-mean", "240"])
+    s0, _ = _run_mem([fa, fq1, fq2, "--insert-mean", "240", "--shard", "0/2"])
+    s1, _ = _run_mem([fa, fq1, fq2, "--insert-mean", "240", "--shard", "1/2"])
+    assert sorted(s0 + s1) == sorted(full)
+    assert len(s0) + len(s1) == len(full)
+    # single-end: primary marking uses the Wang hash of the read id
+    full_se, _ = _run_mem([fa, fq1])
+    se0, _ = _run_mem([fa, fq1, "--shard", "0/3"])
+    se1, _ = _run_mem([fa, fq1, "--shard", "1/3"])
+    se2, _ = _run_mem([fa, fq1, "--shard", "2/3"])
+    assert sorted(se0 + se1 + se2) == sorted(full_se)
+
+
+def test_shard_rejects_bad_spec(fastqs, tmp_path):
+    d, fq1, fq2, n = fastqs
+    import shutil
+
+    fa = str(tmp_path / "ref.fa")
+    shutil.copy(f"{REFERENCE_RESOURCES}/ref.fa", fa)
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "bwamem_tpu", "mem", fa, fq1, "--shard", "3/2"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 2
+    assert "bad --shard" in r.stderr
