@@ -89,7 +89,8 @@ def cmd_mem(args) -> int:
     from .api.index import BwaMemIndex
     from .api.sam import aln2sam, sam_header
     from .api.pestats import BwaMemPairEndStats
-    from .engine.pipeline import align_regs_batch, reg2sam_records
+    from .engine.pipeline import (align_regs_batch, native_pipeline_ok,
+                                  reg2sam_records)
     from .engine.finalize import mark_primary_se
     from .engine import finalize as finalize_mod
     from .api.options import MEM_F_PRIMARY5
@@ -157,14 +158,29 @@ def cmd_mem(args) -> int:
                 reads.append(r1)
                 reads.append(r2)
             codes = [seq_to_codes(r.seq) for r in reads]
-            regs = align_regs_batch(opt, eng, codes)
-            pes = aligner._resolve_pes(opt, eng, regs)
-            for i, (r1, r2) in enumerate(batch):
-                alns0, alns1 = pair_mod.sam_pe(
-                    opt, eng, pes, (n_done // 2 + i) * shard_n + shard_i,
-                    (codes[2 * i], codes[2 * i + 1]),
-                    [regs[2 * i], regs[2 * i + 1]],
+            if native_pipeline_ok(eng, codes):
+                # fused native tail (seeds -> records in one C call), ids =
+                # original stream pair ordinals so output is chunking- and
+                # shard-invariant
+                recs = aligner._align_native(
+                    eng, opt, codes, is_pe=True,
+                    id_base=(n_done // 2) * shard_n + shard_i,
+                    id_stride=shard_n,
                 )
+            else:
+                regs = align_regs_batch(opt, eng, codes)
+                pes = aligner._resolve_pes(opt, eng, regs)
+                recs = []
+                for i in range(len(batch)):
+                    alns0, alns1 = pair_mod.sam_pe(
+                        opt, eng, pes, (n_done // 2 + i) * shard_n + shard_i,
+                        (codes[2 * i], codes[2 * i + 1]),
+                        [regs[2 * i], regs[2 * i + 1]],
+                    )
+                    recs.append(alns0)
+                    recs.append(alns1)
+            for i, (r1, r2) in enumerate(batch):
+                alns0, alns1 = recs[2 * i], recs[2 * i + 1]
                 m0 = alns0[0] if alns0 else None
                 m1 = alns1[0] if alns1 else None
                 for w, a in enumerate(alns0):
@@ -185,12 +201,21 @@ def cmd_mem(args) -> int:
         n_done = 0
         for batch in _chunker(stream, chunk_bases, paired=False):
             codes = [seq_to_codes(r.seq) for r in batch]
-            regs_all = align_regs_batch(opt, eng, codes)
-            for i, (r, regs) in enumerate(zip(batch, regs_all)):
-                mark_primary_se(opt, regs, (n_done + i) * shard_n + shard_i)
-                if opt.flag & MEM_F_PRIMARY5:
-                    finalize_mod.reorder_primary5(opt.T, regs)
-                alns = reg2sam_records(opt, eng, codes[i], regs)
+            if native_pipeline_ok(eng, codes):
+                recs = aligner._align_native(
+                    eng, opt, codes, is_pe=False,
+                    id_base=n_done * shard_n + shard_i, id_stride=shard_n,
+                )
+            else:
+                recs = []
+                regs_all = align_regs_batch(opt, eng, codes)
+                for i, regs in enumerate(regs_all):
+                    mark_primary_se(opt, regs, (n_done + i) * shard_n + shard_i)
+                    if opt.flag & MEM_F_PRIMARY5:
+                        finalize_mod.reorder_primary5(opt.T, regs)
+                    recs.append(reg2sam_records(opt, eng, codes[i], regs))
+            for i, r in enumerate(batch):
+                alns = recs[i]
                 for w, a in enumerate(alns):
                     out.write(
                         aln2sam(opt, eng.idx.bns.anns, r.name, codes[i],

@@ -183,9 +183,15 @@ class BwaMemAligner:
         raw = self.align_seqs_raw(wire.decode_seqs(seqs_buf))
         return wire.encode_alignments(raw)
 
-    def _align_native(self, eng, opt, reads, is_pe: bool):
+    def _align_native(self, eng, opt, reads, is_pe: bool,
+                      id_base: int = 0, id_stride: int = 1):
         """Full native pipeline (seeds -> records in one C call);
-        engine/native/pipeline.cpp, the mem_process_seqs equivalent."""
+        engine/native/pipeline.cpp, the mem_process_seqs equivalent.
+
+        id_base/id_stride set the engine-visible read/pair ordinals
+        (hash tie-break inputs) — streaming and sharded callers pass the
+        ORIGINAL stream ordinals so output is invariant to chunking and
+        partitioning."""
         from ..engine import native_pipeline
         from ..engine.pipeline import native_seed_sa
         from ..utils.timers import TIMERS
@@ -196,7 +202,8 @@ class BwaMemAligner:
             pes = self._resolve_pes(opt, eng, None)
         with TIMERS.stage("native_tail"):
             return native_pipeline.pipeline_batch(
-                opt, eng.idx, reads, *arrays, is_pe=is_pe, pes=pes
+                opt, eng.idx, reads, *arrays, is_pe=is_pe, pes=pes,
+                id_base=id_base, id_stride=id_stride,
             )
 
     def _align_se(self, eng, opt, reads):

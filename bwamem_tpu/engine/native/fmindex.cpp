@@ -22,12 +22,22 @@
 namespace {
 
 struct FM {
-  const int64_t* ckpt;   // [nb+1][4]
-  const uint32_t* words; // [nb][8]
+  // fused block layout: per 128-base block one 64-byte (one cache line)
+  // record [4 x int64 checkpoint | 8 x uint32 packed chars] — bwa's
+  // interleaved-occ idea taken to exactly one line per rank query
+  // (separate ckpt/words arrays cost two misses per query).
+  const uint8_t* fused;  // [nb][64], 64-byte aligned
   const int64_t* L2;     // [5]
   const int64_t* sa;     // [n_sa]
   int64_t primary, seq_len, sa_intv;
 };
+
+inline const int64_t* blk_ckpt(const FM& fm, int64_t b) {
+  return reinterpret_cast<const int64_t*>(fm.fused + (b << 6));
+}
+inline const uint32_t* blk_words(const FM& fm, int64_t b) {
+  return reinterpret_cast<const uint32_t*>(fm.fused + (b << 6) + 32);
+}
 
 inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
 
@@ -44,8 +54,8 @@ inline void occ4(const FM& fm, int64_t k, int64_t cnt[4]) {
   int64_t kk = k - (k >= fm.primary);
   int64_t block = kk >> 7;
   int within = (int)(kk & 127) + 1;  // inclusive char count
-  const int64_t* base = fm.ckpt + block * 4;
-  const uint32_t* w = fm.words + block * 8;
+  const int64_t* base = blk_ckpt(fm, block);
+  const uint32_t* w = blk_words(fm, block);
   int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0;
   for (int wi = 0; wi < 8 && within > 0; ++wi, within -= 16) {
     int valid = within < 16 ? within : 16;
@@ -87,8 +97,8 @@ inline void occ4_pair(const FM& fm, int64_t k, int64_t l, int64_t ck[4],
   int64_t block = kk >> 7;
   int wk = (int)(kk & 127) + 1;  // k's inclusive char count (k <= l here)
   int wl = (int)(ll & 127) + 1;
-  const int64_t* base = fm.ckpt + block * 4;
-  const uint32_t* w = fm.words + block * 8;
+  const int64_t* base = blk_ckpt(fm, block);
+  const uint32_t* w = blk_words(fm, block);
   int64_t a[4] = {0, 0, 0, 0}, bcnt[4] = {0, 0, 0, 0};
   int rk = wk, rl = wl;
   for (int wi = 0; wi < 8 && rl > 0; ++wi, rk -= 16, rl -= 16) {
@@ -302,7 +312,7 @@ void collect_intv_one(const FM& fm, const uint8_t* q, int len,
 inline uint8_t bwt_char_at(const FM& fm, int64_t phys) {
   int64_t block = phys >> 7;
   int within = (int)(phys & 127);
-  uint32_t word = fm.words[block * 8 + (within >> 4)];
+  uint32_t word = blk_words(fm, block)[within >> 4];
   return (word >> (30 - 2 * (within & 15))) & 3;
 }
 
@@ -334,12 +344,12 @@ extern "C" {
 //   pass 2: out != nullptr, out_off[i] gives each read's slot; rows are
 //     (x0, x1, s, qb, qe) int64.
 void bwamem_collect_intv_batch(
-    const int64_t* ckpt, const uint32_t* words, const int64_t* L2,
+    const uint8_t* fused, const int64_t* L2,
     const int64_t* sa, int64_t primary, int64_t seq_len, int64_t sa_intv,
     int64_t n_reads, const uint8_t* rbuf, const int64_t* roff,
     const int32_t* rlen, int min_seed_len, int split_len, int split_width,
     int64_t max_mem_intv, int64_t* n_out, int64_t* out_off, int64_t* out) {
-  FM fm{ckpt, words, L2, sa, primary, seq_len, sa_intv};
+  FM fm{fused, L2, sa, primary, seq_len, sa_intv};
 #pragma omp parallel for schedule(dynamic, 8)
   for (int64_t i = 0; i < n_reads; ++i) {
     std::vector<Intv> mems;
@@ -364,12 +374,12 @@ void bwamem_collect_intv_batch(
 // concatenates into one malloc'd block (rows of 5 int64), fills n_out and
 // returns the block (caller frees with bwamem_free).
 int64_t* bwamem_collect_intv_batch_alloc(
-    const int64_t* ckpt, const uint32_t* words, const int64_t* L2,
+    const uint8_t* fused, const int64_t* L2,
     const int64_t* sa, int64_t primary, int64_t seq_len, int64_t sa_intv,
     int64_t n_reads, const uint8_t* rbuf, const int64_t* roff,
     const int32_t* rlen, int min_seed_len, int split_len, int split_width,
     int64_t max_mem_intv, int64_t* n_out) {
-  FM fm{ckpt, words, L2, sa, primary, seq_len, sa_intv};
+  FM fm{fused, L2, sa, primary, seq_len, sa_intv};
   std::vector<std::vector<Intv>> all(n_reads);
 #pragma omp parallel for schedule(dynamic, 8)
   for (int64_t i = 0; i < n_reads; ++i) {
@@ -406,13 +416,69 @@ void bwamem_set_threads(int n) {
 #endif
 }
 
-void bwamem_sa_batch(const int64_t* ckpt, const uint32_t* words,
+// Sampled-SA resolution for a batch of rows.  Each walk is a serial
+// pointer-chase (k -> inv_psi(k)) whose every step misses LLC at genome
+// scale; walks are mutually independent, so each thread runs W of them
+// round-robin and prefetches every lane's next fused block one sweep
+// ahead — the lane count keeps ~W misses in flight instead of 1.
+void bwamem_sa_batch(const uint8_t* fused,
                      const int64_t* L2, const int64_t* sa, int64_t primary,
                      int64_t seq_len, int64_t sa_intv, int64_t n,
                      const int64_t* ks, int64_t* out) {
-  FM fm{ckpt, words, L2, sa, primary, seq_len, sa_intv};
-#pragma omp parallel for schedule(static, 256)
-  for (int64_t i = 0; i < n; ++i) out[i] = sa_one(fm, ks[i]);
+  FM fm{fused, L2, sa, primary, seq_len, sa_intv};
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num(), nth = omp_get_num_threads();
+#else
+    int tid = 0, nth = 1;
+#endif
+    int64_t lo = n * tid / nth, hi = n * (tid + 1) / nth;
+    constexpr int W = 16;
+    int64_t lane_i[W];   // output index per lane (-1 = idle)
+    int64_t lane_k[W], lane_steps[W];
+    int64_t next = lo;
+    int active = 0;
+    for (int j = 0; j < W; ++j) {
+      lane_i[j] = -1;
+      if (next < hi) {
+        lane_i[j] = next;
+        lane_k[j] = ks[next];
+        lane_steps[j] = 0;
+        ++next;
+        ++active;
+      }
+    }
+    while (active > 0) {
+      for (int j = 0; j < W; ++j) {  // prefetch sweep
+        if (lane_i[j] < 0) continue;
+        int64_t k = lane_k[j];
+        if (k % fm.sa_intv != 0 && k != fm.primary) {
+          int64_t kk = k - (k > fm.primary);
+          __builtin_prefetch(fm.fused + ((kk >> 7) << 6));
+        }
+      }
+      for (int j = 0; j < W; ++j) {  // advance sweep
+        if (lane_i[j] < 0) continue;
+        int64_t k = lane_k[j];
+        if (k % fm.sa_intv == 0) {
+          out[lane_i[j]] = fm.sa[k / fm.sa_intv] + lane_steps[j];
+          if (next < hi) {
+            lane_i[j] = next;
+            lane_k[j] = ks[next];
+            lane_steps[j] = 0;
+            ++next;
+          } else {
+            lane_i[j] = -1;
+            --active;
+          }
+        } else {
+          lane_k[j] = inv_psi(fm, k);
+          ++lane_steps[j];
+        }
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -1143,7 +1143,8 @@ void bwamem_pipeline_batch(
     const int64_t* intv, const int64_t* intv_off, const int64_t* n_intv,
     const int64_t* rbegs, const int64_t* rbeg_off, const int64_t* n_rbeg,
     const int64_t* opt_i, const double* opt_f, const int8_t* mat,
-    int32_t is_pe, const double* pes_in, int64_t id_base, double* pes_out,
+    int32_t is_pe, const double* pes_in, int64_t id_base, int64_t id_stride,
+    double* pes_out,
     int64_t** rec_rows_out, int64_t* n_rec_out, uint32_t** cig_out,
     int64_t* cig_len_out, char** str_out, int64_t* str_len_out) {
   using namespace tail;
@@ -1229,7 +1230,8 @@ void bwamem_pipeline_batch(
         const int64_t qlens[2] = {rlen[2 * p], rlen[2 * p + 1]};
         std::vector<RegT>* r2 = &regs[2 * p];
         std::vector<RecT> out01[2];
-        sam_pe(o, bns, nm, pes, id_base + p, seqs, qlens, r2, out01, s);
+        sam_pe(o, bns, nm, pes, id_base + p * id_stride, seqs, qlens, r2,
+               out01, s);
         recs[2 * p] = std::move(out01[0]);
         recs[2 * p + 1] = std::move(out01[1]);
       }
@@ -1240,7 +1242,7 @@ void bwamem_pipeline_batch(
       Scratch s;
 #pragma omp for schedule(dynamic, 8)
       for (int64_t i = 0; i < n_reads; ++i) {
-        mark_primary_se(o, regs[i], id_base + i);
+        mark_primary_se(o, regs[i], id_base + i * id_stride);
         if (o.i(OI_FLAG) & F_PRIMARY5) reorder_primary5(o.i(OI_T), regs[i]);
         reg2sam_records(o, bns, nm, rlen[i], rbuf + roff[i], regs[i], 0,
                         nullptr, recs[i], s);

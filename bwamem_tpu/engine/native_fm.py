@@ -50,7 +50,7 @@ def _ensure_built() -> bool:
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_collect_intv_batch.restype = None
             lib.bwamem_collect_intv_batch.argtypes = [
-                _I64P, _U32P, _I64P, _I64P,
+                _U8P, _I64P, _I64P,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, _U8P, _I64P, _I32P,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
@@ -58,13 +58,13 @@ def _ensure_built() -> bool:
             ]
             lib.bwamem_sa_batch.restype = None
             lib.bwamem_sa_batch.argtypes = [
-                _I64P, _U32P, _I64P, _I64P,
+                _U8P, _I64P, _I64P,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, _I64P, _I64P,
             ]
             lib.bwamem_collect_intv_batch_alloc.restype = ctypes.c_void_p
             lib.bwamem_collect_intv_batch_alloc.argtypes = [
-                _I64P, _U32P, _I64P, _I64P,
+                _U8P, _I64P, _I64P,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, _U8P, _I64P, _I32P,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
@@ -93,11 +93,25 @@ def available() -> bool:
 
 
 class _FmArrays:
-    """Keeps C-contiguous views of an FMIndex's arrays + ctypes pointers."""
+    """Keeps C-contiguous views of an FMIndex's arrays + ctypes pointers.
+
+    The occ structures are FUSED into one 64-byte record per 128-base
+    block — [4 x int64 checkpoint | 8 x uint32 packed chars] — so every
+    native rank query costs exactly one cache line (bwa interleaves for
+    the same reason; split ckpt/words arrays cost two misses per query).
+    The record array is 64-byte aligned by construction."""
 
     def __init__(self, fm):
-        self.ckpt = np.ascontiguousarray(fm.ckpt, dtype=np.int64)
-        self.words = np.ascontiguousarray(fm.words, dtype=np.uint32)
+        ckpt = np.ascontiguousarray(fm.ckpt, dtype="<i8").reshape(-1, 4)
+        words = np.ascontiguousarray(fm.words, dtype="<u4").reshape(-1, 8)
+        nb = len(words)
+        raw = np.empty(nb * 16 + 16, dtype=np.uint32)
+        off = (-raw.ctypes.data % 64) // 4
+        fused = raw[off : off + nb * 16].reshape(nb, 16)
+        fused[:, :8] = ckpt[:nb].view("<u4")
+        fused[:, 8:] = words
+        self._raw = raw  # owns the aligned storage
+        self.fused = fused
         self.L2 = np.ascontiguousarray(fm.L2, dtype=np.int64)
         self.sa = np.ascontiguousarray(fm.sa, dtype=np.int64)
         self.primary = int(fm.primary)
@@ -106,8 +120,7 @@ class _FmArrays:
 
     def ptrs(self):
         return (
-            self.ckpt.ctypes.data_as(_I64P),
-            self.words.ctypes.data_as(_U32P),
+            self.fused.ctypes.data_as(_U8P),
             self.L2.ctypes.data_as(_I64P),
             self.sa.ctypes.data_as(_I64P),
             self.primary,

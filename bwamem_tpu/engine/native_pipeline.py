@@ -91,7 +91,7 @@ def _ensure_built() -> bool:
                 ctypes.c_int64, _U8P, _I64P, _I32P,
                 _I64P, _I64P, _I64P, _I64P, _I64P, _I64P,
                 _I64P, _F64P, _I8P,
-                ctypes.c_int32, _F64P, ctypes.c_int64, _F64P,
+                ctypes.c_int32, _F64P, ctypes.c_int64, ctypes.c_int64, _F64P,
                 ctypes.POINTER(_I64P), _I64P,
                 ctypes.POINTER(_U32P), _I64P,
                 ctypes.POINTER(_CHARP), _I64P,
@@ -150,6 +150,7 @@ def pipeline_batch(
     is_pe: bool,
     pes: Optional[List] = None,  # list[PeStat] or None -> infer
     id_base: int = 0,
+    id_stride: int = 1,
 ) -> List[List[Aln]]:
     """Seed intervals -> final per-read Aln record lists, all native."""
     if not _ensure_built():
@@ -201,7 +202,7 @@ def pipeline_batch(
         _p(opt_i, _I64P), _p(opt_f, _F64P), _p(mat8, _I8P),
         1 if is_pe else 0,
         _p(pes_arr, _F64P) if pes_arr is not None else None,
-        id_base, None,
+        id_base, id_stride, None,
         ctypes.byref(rows_p), ctypes.byref(n_rec),
         ctypes.byref(cig_p), ctypes.byref(cig_len),
         ctypes.byref(str_p), ctypes.byref(str_len),
