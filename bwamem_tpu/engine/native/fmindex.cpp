@@ -90,6 +90,8 @@ inline void occ4_pair(const FM& fm, int64_t k, int64_t l, int64_t ck[4],
   int64_t kk = k - (k >= fm.primary);
   int64_t ll = l - (l >= fm.primary);
   if ((kk >> 7) != (ll >> 7)) {
+    // distinct blocks: overlap the two misses instead of serializing them
+    __builtin_prefetch(fm.fused + ((ll >> 7) << 6));
     occ4(fm, k, ck);
     occ4(fm, l, cl);
     return;
@@ -210,6 +212,12 @@ int smem1a(const FM& fm, const uint8_t* q, int len, int x, int64_t min_intv,
     int c = (i < 0 || q[i] > 3) ? -1 : q[i];
     curr.clear();
     for (size_t j = 0; j < prev.size(); ++j) {
+      if (j + 1 < prev.size()) {
+        // the next interval's rank-query block is independent: prefetch
+        int64_t nx = prev[j + 1].x0 - 1;
+        if (nx >= 0 && nx < fm.seq_len)
+          __builtin_prefetch(fm.fused + (((nx - (nx >= fm.primary)) >> 7) << 6));
+      }
       const Intv& p = prev[j];
       bool did_ext = (c >= 0 && p.s >= max_intv);
       if (did_ext) bwt_extend(fm, p, ok, true);
