@@ -15,8 +15,10 @@
 #include "ksw.cpp"        // ksw_global_one, gen_cigar2_one + C ABI twins
 #include "align_core.cpp" // Opts, Bns, Chain, build_chains, chain2aln
 
+#include <chrono>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <string>
 
 namespace tail {
@@ -1158,6 +1160,19 @@ void bwamem_pipeline_batch(
               (int)o.i(OI_E_INS), (int)o.i(OI_ZDROP), (int)o.i(OI_PEN_CLIP5),
               (int)o.i(OI_PEN_CLIP3), (int)o.i(OI_A)};
 
+  // BWAMEM_TPU_NATIVE_PROF=1: print per-phase wall times to stderr
+  const bool prof = []() {
+    const char* e = getenv("BWAMEM_TPU_NATIVE_PROF");
+    return e && e[0] == '1';
+  }();
+  auto t0 = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!prof) return;
+    auto t1 = std::chrono::steady_clock::now();
+    fprintf(stderr, "[native_prof] %s %.1fms\n", name,
+            std::chrono::duration<double, std::milli>(t1 - t0).count());
+    t0 = t1;
+  };
   // phase 1: per-read align to deduped regions ([EXT] worker1)
   std::vector<std::vector<RegT>> regs(n_reads);
 #pragma omp parallel
@@ -1192,6 +1207,7 @@ void bwamem_pipeline_batch(
     }
   }
 
+  lap("chain+extend+dedup");
   // PE stats: caller-provided or inferred from the whole batch
   PeStat pes[4];
   if (is_pe) {
@@ -1217,6 +1233,7 @@ void bwamem_pipeline_batch(
     }
   }
 
+  lap("pestat");
   // phase 2: finalize per read / per pair ([EXT] worker2)
   std::vector<std::vector<RecT>> recs(n_reads);
   if (is_pe) {
@@ -1250,6 +1267,7 @@ void bwamem_pipeline_batch(
     }
   }
 
+  lap("pair+finalize");
   // serialize into flat arenas
   int64_t n_rec = 0, cig_len = 0, str_len = 0;
   for (const auto& rl : recs)
