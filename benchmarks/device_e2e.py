@@ -1,0 +1,125 @@
+"""Real-TPU end-to-end proof: align a PE batch with the DEVICE kernels in
+the hot path and assert record equality with the host engine.
+
+Routes the full three-round SMEM seeding (ops/smem_tpu.py lockstep lanes)
+and the banded-SW extension waves (ops/extend_pallas.py VMEM kernel /
+extend_tpu.py scan) through the attached TPU — the compiled kernels, not
+interpret mode — then compares every record field against the pure host
+C++ path.  Also records the devlink probe's measured link verdict, so the
+artifact shows what the auto-routing decided on this host.
+
+Run alone on a quiet chip:  python benchmarks/device_e2e.py [out.json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _align(img, reads, env):
+    """Run one alignment pass under `env`, in-process."""
+    saved = {}
+    for k, v in env.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        from bwamem_tpu import BwaMemAligner, BwaMemIndex, BwaMemPairEndStats
+        from bwamem_tpu.utils import metrics
+
+        metrics.reset()
+        index = BwaMemIndex(img)
+        aligner = BwaMemAligner(index)
+        aligner.align_pairs()
+        aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
+        t0 = time.time()
+        out = aligner.align_seqs(reads)
+        dt = time.time() - t0
+        index.close()
+        snap = metrics.snapshot()
+        recs = [
+            [
+                (a.sam_flag, a.ref_id, a.ref_start, a.cigar, a.map_qual,
+                 a.n_mismatches, a.aligner_score, a.suboptimal_score,
+                 a.md_tag, a.xa_tag, a.mate_ref_start, a.template_len)
+                for a in rl
+            ]
+            for rl in out
+        ]
+        return recs, dt, snap.get("counters", {})
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def main():
+    import jax
+
+    from bwamem_tpu.index import image
+    from bwamem_tpu.index.build import build_index
+    from bwamem_tpu.utils.fasta import Fasta, FastaContig
+    from bwamem_tpu.utils.synth import simulate_pairs, synthetic_genome
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "DEVICE_E2E.json"
+    devs = jax.devices()
+    platform = devs[0].platform
+    rng = np.random.default_rng(42)
+    codes = synthetic_genome(500_000, rng)
+    img = "/tmp/device_e2e_ref.img"
+    if not os.path.exists(img):
+        image.write_image(img, build_index(Fasta([FastaContig("c", "", codes)])))
+    reads = simulate_pairs(codes, np.random.default_rng(43), 300)
+
+    host_recs, host_dt, _ = _align(
+        img, reads, {"BWAMEM_TPU_DEVICE_SEED": "0", "BWAMEM_TPU_DEVICE_EXTEND": "0"}
+    )
+    dev_env = {
+        "BWAMEM_TPU_DEVICE_SEED": "1",
+        "BWAMEM_TPU_DEVICE_EXTEND": "1",
+        "BWAMEM_TPU_FORCE_WAVES": "1",
+    }
+    # warm compile pass (cached afterwards)
+    _align(img, reads[:16], dev_env)
+    dev_recs, dev_dt, counters = _align(img, reads, dev_env)
+
+    equal = host_recs == dev_recs
+    n_diff = sum(1 for a, b in zip(host_recs, dev_recs) if a != b)
+
+    from bwamem_tpu.utils import devlink
+
+    devlink._verdict = None
+    auto = devlink.device_extend_auto()
+
+    rec = {
+        "metric": "device_end_to_end",
+        "platform": platform,
+        "device": str(devs[0]),
+        "reads": len(reads),
+        "record_equal_to_host": bool(equal),
+        "n_reads_differing": int(n_diff),
+        "host_reads_per_sec": round(len(reads) / host_dt, 1),
+        "device_reads_per_sec": round(len(reads) / dev_dt, 1),
+        "device_seed_waves": int(counters.get("device_seed_waves", 0)),
+        "device_extend_waves": int(counters.get("device_extend_waves", 0)),
+        "device_extend_jobs": int(counters.get("device_extend_jobs", 0)),
+        "link_probe_fast": bool(auto),
+        "note": "device path = full SMEM seeding + extension waves on the "
+        "attached accelerator; on this rig every dispatch rides a ~40-50ms "
+        "loopback relay, so host wins on wall clock — the artifact pins "
+        "compiled-kernel bit-exactness and the auto-router's verdict.",
+    }
+    assert equal, rec
+    with open(out_path, "w") as f:
+        json.dump(rec, f, indent=1)
+        f.write("\n")
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
