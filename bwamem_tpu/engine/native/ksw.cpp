@@ -131,6 +131,243 @@ void ksw_extend_one(const uint8_t* q, int qlen, const uint8_t* t, int tlen,
   out6[5] = max_off;
 }
 
+// -------------------------------------------------------------------------
+// ksw_extend2, vectorized.  The scalar recurrence carries two serial
+// dependencies along the row: the previous cell's h (fed to the next row)
+// and the horizontal-gap tracker f.  h only SHIFTS (no feedback within the
+// row), and f admits a prefix-max reformulation:
+//     f[j] = max(0, max_{k<j}(tt[k] + k*e_ins) - (j-1)*e_ins),
+//     tt[k] = max(M[k] - oe_ins, 0)
+// — the same lane-prefix-max trick the Pallas device kernel uses
+// (ops/extend_pallas.py), so every cell becomes elementwise plus one
+// log-step scan.  Rows >= 16 cells run 8-wide AVX2; narrow rows and
+// non-AVX2 builds use the scalar row.  Bit-exact vs the scalar code and
+// the python oracle (adaptive window stale cells, zdrop ties, later-j
+// row-max ties, M==0 reset) — pinned by the tier-equivalence tests and a
+// 4000-job adversarial fuzz.  Measured: ~1.3x vs scalar at qlen 5k
+// (band-width rows amortize the scan), below parity at short read
+// lengths — so the batch entry dispatches here only for qlen >= 2048
+// (the long-read/chimeric regime); short reads keep the scalar loop.
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+namespace vx {
+
+constexpr int32_t NEG = INT32_MIN / 2;
+
+// lane i <- x[i-k] (k in {1,2,4}), lanes < k filled with NEG
+template <int K>
+static inline __m256i shiftl(__m256i x) {
+  __m256i idx, fill = _mm256_set1_epi32(NEG);
+  if (K == 1) idx = _mm256_setr_epi32(0, 0, 1, 2, 3, 4, 5, 6);
+  if (K == 2) idx = _mm256_setr_epi32(0, 0, 0, 1, 2, 3, 4, 5);
+  if (K == 4) idx = _mm256_setr_epi32(0, 0, 0, 0, 0, 1, 2, 3);
+  __m256i perm = _mm256_permutevar8x32_epi32(x, idx);
+  __m256i lane = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  __m256i mask = _mm256_cmpgt_epi32(_mm256_set1_epi32(K), lane);  // lane < K
+  return _mm256_blendv_epi8(perm, fill, mask);
+}
+
+}  // namespace vx
+#endif  // __AVX2__
+
+void ksw_extend_one_wide(const uint8_t* q, int qlen, const uint8_t* t,
+                         int tlen,
+                    const int8_t* mat,  // 5x5
+                    int o_del, int e_del, int o_ins, int e_ins, int w,
+                    int end_bonus, int zdrop, int h0, int32_t* out6) {
+  const int m = 5;
+  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  // thread-local scratch: extension jobs are ~read-length sized and run in
+  // tight OpenMP loops — per-call allocation would dominate short jobs
+  static thread_local std::vector<int8_t> qp_s;
+  static thread_local std::vector<int32_t> H_s, E_s, hrow_s;
+  if ((int64_t)qp_s.size() < (int64_t)m * qlen) qp_s.resize((size_t)m * qlen);
+  int8_t* qp = qp_s.data();
+  for (int k = 0; k < m; ++k) {
+    const int8_t* p = &mat[k * m];
+    for (int j = 0; j < qlen; ++j) qp[(size_t)k * qlen + j] = p[q[j]];
+  }
+  // split h/e state (vector-friendly) + a scratch row for the new h values
+  if ((int64_t)H_s.size() < qlen + 9) {
+    H_s.resize(qlen + 9);
+    E_s.resize(qlen + 9);
+    hrow_s.resize(qlen + 9);
+  }
+  int32_t* H = H_s.data();
+  int32_t* E = E_s.data();
+  int32_t* hrow = hrow_s.data();
+  std::memset(H, 0, sizeof(int32_t) * (qlen + 9));
+  std::memset(E, 0, sizeof(int32_t) * (qlen + 9));
+  // first row
+  H[0] = h0;
+  if (qlen > 0) {
+    H[1] = h0 > oe_ins ? h0 - oe_ins : 0;
+    int j = 2;
+    for (; j <= qlen && H[j - 1] > e_ins; ++j) H[j] = H[j - 1] - e_ins;
+  }
+  // adjust the band width
+  int max_sc = mat[0];
+  for (int i = 1; i < m * m; ++i) max_sc = std::max(max_sc, (int)mat[i]);
+  int max_ins = (int)((double)(qlen * max_sc + end_bonus - o_ins) / e_ins + 1.);
+  w = std::min(w, std::max(max_ins, 1));
+  int max_del = (int)((double)(qlen * max_sc + end_bonus - o_del) / e_del + 1.);
+  w = std::min(w, std::max(max_del, 1));
+
+  int maxv = h0, max_i = -1, max_j = -1, max_ie = -1, gscore = -1, max_off = 0;
+  int beg = 0, end = qlen;
+  for (int i = 0; i < tlen; ++i) {
+    int mrow = 0, mj = -1;
+    const int8_t* qrow = &qp[(size_t)t[i] * qlen];
+    if (beg < i - w) beg = i - w;
+    if (end > i + w + 1) end = i + w + 1;
+    if (end > qlen) end = qlen;
+    int h1b;  // boundary h entering this row at column beg
+    if (beg == 0) {
+      h1b = h0 - (o_del + e_del * (i + 1));
+      if (h1b < 0) h1b = 0;
+    } else {
+      h1b = 0;
+    }
+    int j = beg;
+#if defined(__AVX2__)
+    if (end - beg >= 16) {
+      const __m256i vzero = _mm256_setzero_si256();
+      const __m256i voedel = _mm256_set1_epi32(oe_del);
+      const __m256i vedel = _mm256_set1_epi32(e_del);
+      const __m256i voeins = _mm256_set1_epi32(oe_ins);
+      const __m256i veins = _mm256_set1_epi32(e_ins);
+      const __m256i viota = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+      int32_t carry = vx::NEG;  // running max of g[k] = tt_ins[k] + k*e_ins
+      int vec_end = beg + ((end - beg) & ~7);
+      for (; j < vec_end; j += 8) {
+        __m256i vMp = _mm256_loadu_si256((const __m256i*)&H[j]);
+        __m256i vEo = _mm256_loadu_si256((const __m256i*)&E[j]);
+        __m256i vq = _mm256_cvtepi8_epi32(
+            _mm_loadl_epi64((const __m128i*)&qrow[j]));
+        __m256i zmask = _mm256_cmpeq_epi32(vMp, vzero);  // Mprev == 0
+        __m256i vM =
+            _mm256_andnot_si256(zmask, _mm256_add_epi32(vMp, vq));
+        // E update
+        __m256i vtt = _mm256_max_epi32(_mm256_sub_epi32(vM, voedel), vzero);
+        __m256i vE =
+            _mm256_max_epi32(_mm256_sub_epi32(vEo, vedel), vtt);
+        _mm256_storeu_si256((__m256i*)&E[j], vE);
+        __m256i vhme = _mm256_max_epi32(vM, vEo);
+        // f via prefix-max of g = tt_ins + j*e_ins
+        __m256i vtti = _mm256_max_epi32(_mm256_sub_epi32(vM, voeins), vzero);
+        __m256i vj =
+            _mm256_add_epi32(_mm256_set1_epi32(j), viota);
+        __m256i vje = _mm256_mullo_epi32(vj, veins);
+        __m256i vg = _mm256_add_epi32(vtti, vje);
+        __m256i incl = _mm256_max_epi32(vg, vx::shiftl<1>(vg));
+        incl = _mm256_max_epi32(incl, vx::shiftl<2>(incl));
+        incl = _mm256_max_epi32(incl, vx::shiftl<4>(incl));
+        __m256i excl = _mm256_max_epi32(vx::shiftl<1>(incl),
+                                        _mm256_set1_epi32(carry));
+        carry = std::max(carry,
+                         (int32_t)_mm256_extract_epi32(incl, 7));
+        __m256i vf = _mm256_max_epi32(
+            _mm256_sub_epi32(excl, _mm256_sub_epi32(vje, veins)), vzero);
+        __m256i vh = _mm256_max_epi32(vhme, vf);
+        _mm256_storeu_si256((__m256i*)&hrow[j], vh);
+      }
+      // continue the tail scalar with the reconstructed f chain
+      int f = 0;
+      if (j > beg)
+        f = std::max(carry - (j - 1) * e_ins, 0);
+      for (; j < end; ++j) {
+        int32_t Mp = H[j], e = E[j];
+        int32_t M = Mp ? Mp + qrow[j] : 0;
+        int32_t h = M > e ? M : e;
+        h = h > f ? h : f;
+        hrow[j] = h;
+        int tt = M - oe_del;
+        tt = tt > 0 ? tt : 0;
+        e -= e_del;
+        E[j] = e > tt ? e : tt;
+        tt = M - oe_ins;
+        tt = tt > 0 ? tt : 0;
+        f -= e_ins;
+        f = f > tt ? f : tt;
+      }
+      // row max with later-j tie preference ([EXT] ksw_extend2 order)
+      for (int k = beg; k < end; ++k) {
+        if (!(mrow > hrow[k])) {
+          mrow = hrow[k];
+          mj = k;
+        }
+      }
+      // commit the shifted h row: H[beg] = boundary, H[j] = h[j-1]
+      if (end > beg)
+        std::memmove(&H[beg + 1], &hrow[beg], sizeof(int32_t) * (end - beg));
+      H[beg] = h1b;
+      E[end] = 0;
+      goto row_done;
+    }
+#endif  // __AVX2__
+    {
+      // original single-pass scalar row, h carried in place
+      int f = 0, h1 = h1b;
+      for (; j < end; ++j) {
+        int32_t Mp = H[j], e = E[j];
+        int32_t M = Mp ? Mp + qrow[j] : 0;
+        H[j] = h1;
+        int h = M > e ? M : e;
+        h = h > f ? h : f;
+        h1 = h;
+        mj = mrow > h ? mj : j;
+        mrow = mrow > h ? mrow : h;
+        int tt = M - oe_del;
+        tt = tt > 0 ? tt : 0;
+        e -= e_del;
+        E[j] = e > tt ? e : tt;
+        tt = M - oe_ins;
+        tt = tt > 0 ? tt : 0;
+        f -= e_ins;
+        f = f > tt ? f : tt;
+      }
+      H[end] = h1;
+      E[end] = 0;
+    }
+  row_done:;
+    int h1 = H[end];
+    if (end == qlen) {
+      if (gscore <= h1) {
+        max_ie = i;
+        gscore = h1;
+      }
+    }
+    if (mrow == 0) break;
+    if (mrow > maxv) {
+      maxv = mrow;
+      max_i = i;
+      max_j = mj;
+      if (max_off < std::abs(mj - i)) max_off = std::abs(mj - i);
+    } else if (zdrop > 0) {
+      if (i - max_i > mj - max_j) {
+        if (maxv - mrow - ((i - max_i) - (mj - max_j)) * e_del > zdrop) break;
+      } else {
+        if (maxv - mrow - ((mj - max_j) - (i - max_i)) * e_ins > zdrop) break;
+      }
+    }
+    // shrink the window
+    j = beg;
+    while (j < end && H[j] == 0 && E[j] == 0) ++j;
+    beg = j;
+    j = end;
+    while (j >= beg && H[j] == 0 && E[j] == 0) --j;
+    end = j + 2 < qlen ? j + 2 : qlen;
+  }
+  out6[0] = maxv;
+  out6[1] = max_j + 1;
+  out6[2] = max_i + 1;
+  out6[3] = max_ie + 1;
+  out6[4] = gscore;
+  out6[5] = max_off;
+}
+
 // Banded global (NW) alignment with traceback — exact twin of
 // engine/extend.py::ksw_global2 (the validated oracle for [EXT] ksw.c's
 // ksw_global2 incl. tie-breaks).  Scores in int64 like the oracle; the
@@ -370,7 +607,8 @@ void bwamem_ksw_extend_batch(
     const int32_t* end_bonus, int32_t* out) {
 #pragma omp parallel for schedule(dynamic, 16)
   for (int64_t i = 0; i < n_jobs; ++i) {
-    ksw_extend_one(qbuf + qoff[i], qlen[i], tbuf + toff[i], tlen[i], mat,
+    (qlen[i] >= 2048 ? ksw_extend_one_wide : ksw_extend_one)(
+        qbuf + qoff[i], qlen[i], tbuf + toff[i], tlen[i], mat,
                    o_del, e_del, o_ins, e_ins, w[i], end_bonus[i], zdrop,
                    h0[i], out + i * 6);
   }
