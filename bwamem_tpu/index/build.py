@@ -232,24 +232,35 @@ def interleave_bwt(bwt_codes: np.ndarray) -> np.ndarray:
     Per 128-base block: 4 x int64 cumulative counts (of stored chars before
     the block), then 8 x uint32 of 2-bit packed chars (16/word, MSB-first
     pairs); a final count record follows the last block.
+
+    Word packing and per-block counting run in bounded slices so the
+    temporaries stay ~100 MB regardless of genome size (a whole-GRCh38
+    stored BWT is 6.2 G codes; full-size uint32 temps would be ~25 GB).
     """
     n = len(bwt_codes)
     n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
-    padded = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint32)
-    padded[:n] = bwt_codes
     shifts = (30 - 2 * np.arange(16, dtype=np.uint32)).astype(np.uint32)
-    words_all = (padded.reshape(-1, 16) << shifts).astype(np.uint32).sum(
-        axis=1, dtype=np.uint32
-    )
-    # per-block symbol counts -> exclusive cumulative checkpoints
-    blocks = padded.reshape(n_blocks, OCC_INTERVAL)
-    # mask the padding tail of the last block out of the counts
-    if n % OCC_INTERVAL:
-        blocks = blocks.copy()
-        blocks[-1, n % OCC_INTERVAL :] = 255
-    per_block = np.stack(
-        [(blocks == c).sum(axis=1, dtype=np.int64) for c in range(4)], axis=1
-    )  # [nb, 4]
+    words_all = np.empty(n_blocks * 8, dtype=np.uint32)
+    per_block = np.empty((n_blocks, 4), dtype=np.int64)
+    CHUNK_BLOCKS = 1 << 21  # 256 Mbases per slice
+    for b0 in range(0, n_blocks, CHUNK_BLOCKS):
+        b1 = min(b0 + CHUNK_BLOCKS, n_blocks)
+        lo, hi = b0 * OCC_INTERVAL, b1 * OCC_INTERVAL
+        if hi <= n:
+            seg = np.ascontiguousarray(bwt_codes[lo:hi], dtype=np.uint32)
+        else:
+            seg = np.zeros(hi - lo, dtype=np.uint32)
+            seg[: n - lo] = bwt_codes[lo:n]
+        words_all[b0 * 8 : b1 * 8] = (
+            (seg.reshape(-1, 16) << shifts)
+            .astype(np.uint32)
+            .sum(axis=1, dtype=np.uint32)
+        )
+        blocks = seg.reshape(b1 - b0, OCC_INTERVAL)
+        for c in range(4):
+            per_block[b0:b1, c] = (blocks == c).sum(axis=1, dtype=np.int64)
+    if n % OCC_INTERVAL:  # zero-padding counted as symbol 0: remove it
+        per_block[-1, 0] -= n_blocks * OCC_INTERVAL - n
     ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
     np.cumsum(per_block, axis=0, out=ckpt[1:])
     # assemble: per full block 8 ckpt words + 8 data words; last block may
@@ -350,11 +361,14 @@ def build_bwt(fwd_codes: np.ndarray, sa_intv: int = SA_INTERVAL) -> BwtIndex:
     counts = np.bincount(S, minlength=4).astype(np.int64)
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(counts[:4])
-    data = interleave_bwt(bwt_codes)
+    # sample the SA first and release the full array (8 bytes/position —
+    # 50 GB for whole-GRCh38) before the interleave pass allocates
     n_sa = (seq_len + sa_intv) // sa_intv
     sa = np.empty(n_sa, dtype=np.int64)
     sa[:] = sa_full[np.arange(n_sa) * sa_intv]
     sa[0] = -1  # bwa convention: row 0 (sentinel) is never resolved via sa[0]
+    del sa_full
+    data = interleave_bwt(bwt_codes)
     return BwtIndex(
         primary=primary, L2=L2, seq_len=seq_len, bwt=data, sa_intv=sa_intv, sa=sa
     )

@@ -203,11 +203,18 @@ void sais_core(const Char* s, I* SA, I n, I K) {
   } else {
     for (I i = 0; i < n1; ++i) SA[s1[i]] = i;
   }
+  // genome-scale peak-RSS discipline: s1 is dead past stage 2, and the
+  // induce passes no longer read t[] (sign-carried types), so both can be
+  // released before stage 3 allocates lms — this is what keeps a 6.2 G
+  // symbol (whole-GRCh38 fwd+rc) build inside a 128 GB host
+  std::vector<I>().swap(s1);
 
   // --- stage 3: induce the full SA from sorted LMS suffixes ---
   std::vector<I> lms(n1);
   for (I i = 1, j = 0; i < n; ++i)
     if (is_lms(i)) lms[(size_t)j++] = i;
+  std::vector<uint8_t>().swap(tv);
+  t = nullptr;
   for (I i = 0; i < n1; ++i) SA[i] = lms[SA[i]];
   std::fill(SA + n1, SA + n, (I)0);
   bucket_edges(true);

@@ -26,7 +26,17 @@ def synthetic_genome(
     n_gap_every: int = 2_000_000,
 ) -> np.ndarray:
     """Generate ``length`` 2-bit codes (with a few 4=N gaps)."""
-    out = rng.integers(0, 4, length).astype(np.uint8)
+    if length > 1_500_000_000:
+        # slice the base-noise fill: rng.integers returns int64 (8x) before
+        # the uint8 cast — a whole-GRCh38 draw would be a ~25 GB temporary.
+        # (Kept unchunked below this size so existing seeds reproduce.)
+        out = np.empty(length, dtype=np.uint8)
+        step = 1 << 28
+        for lo in range(0, length, step):
+            hi = min(lo + step, length)
+            out[lo:hi] = rng.integers(0, 4, hi - lo).astype(np.uint8)
+    else:
+        out = rng.integers(0, 4, length).astype(np.uint8)
     # --- interspersed repeat families ---
     families = []
     for ln in (300, 1_500, 6_000):  # Alu-, L1-fragment-, L1-like sizes
