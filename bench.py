@@ -29,8 +29,10 @@ import numpy as np
 BASELINE_READS_PER_SEC = 5000.0  # one bwa-mem thread, 150bp PE (ballpark)
 
 CONFIGS = {
-    "ecoli": dict(ref_len=4_600_000, n_pairs=6000),
-    "chr20": dict(ref_len=64_000_000, n_pairs=6000),
+    "ecoli": dict(ref_len=4_600_000, n_pairs=6000, read_len=150, isize=350),
+    "chr20": dict(ref_len=64_000_000, n_pairs=6000, read_len=150, isize=350),
+    # BASELINE.md "250-400 bp reads" config: wide SW bands / chimeric splits
+    "midlen": dict(ref_len=4_600_000, n_pairs=3000, read_len=300, isize=700),
 }
 
 
@@ -56,13 +58,19 @@ def main():
     index = BwaMemIndex(img)
     aligner = BwaMemAligner(index)
     aligner.align_pairs()
-    aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
+    read_len = cfg.get("read_len", 150)
+    isize = cfg.get("isize", 350)
+    aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(isize, isize // 10))
 
     read_rng = np.random.default_rng(seed + 1)
-    aligner.align_seqs(simulate_pairs(codes, read_rng, 8))  # warm caches
+    aligner.align_seqs(
+        simulate_pairs(codes, read_rng, 8, read_len=read_len, isize_mean=isize)
+    )  # warm caches
 
     n_pairs = int(os.environ.get("BENCH_PAIRS", str(cfg["n_pairs"])))
-    reads = simulate_pairs(codes, read_rng, n_pairs)
+    reads = simulate_pairs(
+        codes, read_rng, n_pairs, read_len=read_len, isize_mean=isize
+    )
     n_reads = len(reads)
     rate = 0.0
     results = None
@@ -77,7 +85,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"reads_per_sec_chip_150bp_pe_{cfg_name}",
+                "metric": f"reads_per_sec_chip_{cfg.get('read_len', 150)}bp_pe_{cfg_name}",
                 "value": round(rate, 2),
                 "unit": "reads/s",
                 "vs_baseline": round(rate / BASELINE_READS_PER_SEC, 4),

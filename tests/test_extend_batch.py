@@ -53,3 +53,47 @@ def test_wave_batched_regs_match(eng):
                 b.rb, b.re, b.qb, b.qe, b.score, b.truesc, b.w, b.seedcov,
                 b.seedlen0, b.rid,
             )
+
+
+def test_wide_kernel_dispatch_matches_oracle():
+    """qlen >= 2048 dispatches the AVX2 wide kernel (ksw.cpp
+    ksw_extend_one_wide) — pin it to the python ksw_extend2 oracle on the
+    long-read regime it serves (band-wide rows, zdrop on/off, indels)."""
+    from bwamem_tpu.engine import native_ksw
+    from bwamem_tpu.engine.extend import ksw_extend2
+
+    if not native_ksw.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    opt = MemOptions()
+    rng = np.random.default_rng(321)
+    jobs, h0s, ws, bonuses = [], [], [], []
+    for trial in range(6):
+        qlen = int(rng.integers(2048, 4000))
+        tlen = qlen + int(rng.integers(0, 500))
+        tseq = rng.integers(0, 4, tlen).astype(np.uint8)
+        qseq = tseq[:qlen].copy()
+        for p in rng.integers(0, qlen, rng.binomial(qlen, 0.06)):
+            qseq[p] = (qseq[p] + 1 + rng.integers(0, 3)) % 4
+        if trial % 2:  # a deletion to force off-diagonal bands
+            cut = int(rng.integers(100, 300))
+            qseq = np.concatenate([qseq[: qlen // 2], qseq[qlen // 2 + cut :]])
+        jobs.append((qseq, tseq))
+        h0s.append(int(rng.integers(20, 60)))
+        ws.append(int(rng.integers(50, 150)))
+        bonuses.append(int(rng.integers(0, 8)))
+    for zdrop in (0, 100):
+        got = native_ksw.extend_batch(
+            jobs, opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            zdrop, h0s, ws, bonuses,
+        )
+        for (qseq, tseq), h0, w, bonus, d in zip(jobs, h0s, ws, bonuses, got):
+            r = ksw_extend2(
+                qseq, tseq, opt.mat, opt.o_del, opt.e_del, opt.o_ins,
+                opt.e_ins, w, bonus, zdrop, h0,
+            )
+            assert (
+                d["score"], d["qle"], d["tle"], d["gtle"], d["gscore"],
+                d["max_off"],
+            ) == (r.score, r.qle, r.tle, r.gtle, r.gscore, r.max_off)
