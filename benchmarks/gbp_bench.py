@@ -7,9 +7,9 @@ throughout the engine; this repo's host engine is int64 end-to-end and the
 unpacked-reference fast-path cache is host-sized (index/build.py
 _UNPACK_CACHE_MAX).  This driver pins the capability with a real run:
 
-  1. synthesize a repeat-rich 1.05 Gbp genome (fwd+rc SA problem: 2.1 G
-     symbols — exercising the builder just under its int32 fast path's
-     2 Gbp edge),
+  1. synthesize a repeat-rich gigabase genome (default 1.05 Gbp — a
+     2.1 G-symbol fwd+rc SA problem, just under the builder's int32 fast
+     path's 2 Gbp edge; GBP_REF_LEN overrides),
   2. build the full FM-index (SA-IS, BWT, occ checkpoints, sampled SA),
   3. write + reopen the flat memory image (1 GiB-chunked writes, the
      jnibwa.c:136-145 discipline),
@@ -35,8 +35,12 @@ jax.config.update("jax_platforms", "cpu")  # host-only run; leave the chip free
 
 import numpy as np
 
-REF_LEN = 1_050_000_000
-N_PAIRS = 2_000
+# Defaults prove the >1 Gbp capability just under the int32 fast path's
+# 2 Gbp edge; GBP_REF_LEN/GBP_PAIRS/GBP_LABEL parameterize (see
+# grch38_bench.py for the 3.1 Gbp int64-path configuration).
+REF_LEN = int(os.environ.get("GBP_REF_LEN", 1_050_000_000))
+N_PAIRS = int(os.environ.get("GBP_PAIRS", 2_000))
+LABEL = os.environ.get("GBP_LABEL", "gbp")
 
 
 def main():
@@ -46,25 +50,26 @@ def main():
     from bwamem_tpu.utils.fasta import Fasta, FastaContig
     from bwamem_tpu.utils.synth import simulate_pairs, synthetic_genome
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_GBP.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else f"BENCH_{LABEL.upper()}.json"
     rng = np.random.default_rng(99)
     t0 = time.time()
     codes = synthetic_genome(REF_LEN, rng)
     t_synth = time.time() - t0
-    print(f"[gbp] synthesized {REF_LEN/1e9:.2f} Gbp in {t_synth:.0f}s", flush=True)
+    print(f"[{LABEL}] synthesized {REF_LEN/1e9:.2f} Gbp in {t_synth:.0f}s",
+          flush=True)
 
     t0 = time.time()
-    idx = build_index(Fasta([FastaContig("gbp1", "", codes)]))
+    idx = build_index(Fasta([FastaContig(LABEL + "1", "", codes)]))
     t_build = time.time() - t0
-    print(f"[gbp] index built in {t_build:.0f}s", flush=True)
+    print(f"[{LABEL}] index built in {t_build:.0f}s", flush=True)
 
-    img = "/tmp/gbp_ref.img"
+    img = f"/tmp/{LABEL}_ref.img"
     t0 = time.time()
     image.write_image(img, idx)
     del idx
     index = BwaMemIndex(img)
     t_image = time.time() - t0
-    print(f"[gbp] image {os.path.getsize(img)/1e9:.2f} GB round-trip "
+    print(f"[{LABEL}] image {os.path.getsize(img)/1e9:.2f} GB round-trip "
           f"in {t_image:.0f}s", flush=True)
 
     aligner = BwaMemAligner(index)
@@ -88,7 +93,7 @@ def main():
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     index.close()
     rec = {
-        "metric": "gbp_scale_end_to_end",
+        "metric": LABEL + "_scale_end_to_end",
         "ref_len": REF_LEN,
         "reads": n_reads,
         "mapped_frac": round(mapped / n_reads, 4),

@@ -1,111 +1,22 @@
-"""Whole-GRCh38-scale (3.1 Gbp) end-to-end proof: build, image-round-trip, and align against a
-gigabase-scale reference on one host.
+"""Whole-GRCh38-scale (3.1 Gbp) end-to-end proof — the int64 index path.
 
-The reference's practical ceiling is host RAM for the mmap'd image
-(~8 GB for GRCh38, jnibwa.c:154-165) with int64 (`bwtint_t`) coordinates
-throughout the engine; this repo's host engine is int64 end-to-end and the
-unpacked-reference fast-path cache is host-sized (index/build.py
-_UNPACK_CACHE_MAX).  This driver pins the capability with a real run:
+Thin configuration of benchmarks/gbp_bench.py (one shared driver): 6.2 G
+SA symbols exceed the builder's int32 fast path (2 Gbp), so this run pins
+the int64 recursion plus the staged buffer release that keeps peak RSS
+under ~100 GB (index/native/sais.cpp, index/build.py interleave slicing).
 
-  1. synthesize a repeat-rich 1.05 Gbp genome (fwd+rc SA problem: 2.1 G
-     symbols — the int64 index path; the 2 Gbp int32 fast path is covered
-     by benchmarks/gbp_bench.py),
-  2. build the full FM-index (SA-IS, BWT, occ checkpoints, sampled SA),
-  3. write + reopen the flat memory image (1 GiB-chunked writes, the
-     jnibwa.c:136-145 discipline),
-  4. align 150bp paired-end reads drawn genome-wide through the public
-     aligner surface and check >= 95% mapped with correct coordinates,
-  5. record build/align wall times in BENCH_GBP_r{N}.json.
-
-Run:  python benchmarks/grch38_bench.py [out.json]
-(~60 min, ~100 GB peak RSS on a 2-core host; the 6.2 G-symbol SA problem
-is the int64 path with staged buffer release — see index/native/sais.cpp.)
+Run alone:  python benchmarks/grch38_bench.py [out.json]   (~60 min)
 """
-import json
 import os
-import resource
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("GBP_REF_LEN", "3100000000")
+os.environ.setdefault("GBP_PAIRS", "1500")
+os.environ.setdefault("GBP_LABEL", "grch38")
 
-import jax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-jax.config.update("jax_platforms", "cpu")  # host-only run; leave the chip free
-
-import numpy as np
-
-REF_LEN = 3_100_000_000
-N_PAIRS = 1_500
-
-
-def main():
-    from bwamem_tpu import BwaMemAligner, BwaMemIndex, BwaMemPairEndStats
-    from bwamem_tpu.index import image
-    from bwamem_tpu.index.build import build_index
-    from bwamem_tpu.utils.fasta import Fasta, FastaContig
-    from bwamem_tpu.utils.synth import simulate_pairs, synthetic_genome
-
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_GBP.json"
-    rng = np.random.default_rng(99)
-    t0 = time.time()
-    codes = synthetic_genome(REF_LEN, rng)
-    t_synth = time.time() - t0
-    print(f"[grch38] synthesized {REF_LEN/1e9:.2f} Gbp in {t_synth:.0f}s", flush=True)
-
-    t0 = time.time()
-    idx = build_index(Fasta([FastaContig("grch38_scale", "", codes)]))
-    t_build = time.time() - t0
-    print(f"[grch38] index built in {t_build:.0f}s", flush=True)
-
-    img = "/tmp/grch38_ref.img"
-    t0 = time.time()
-    image.write_image(img, idx)
-    del idx
-    index = BwaMemIndex(img)
-    t_image = time.time() - t0
-    print(f"[grch38] image {os.path.getsize(img)/1e9:.2f} GB round-trip "
-          f"in {t_image:.0f}s", flush=True)
-
-    aligner = BwaMemAligner(index)
-    aligner.align_pairs()
-    aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
-    read_rng = np.random.default_rng(100)
-    aligner.align_seqs(simulate_pairs(codes, read_rng, 8))  # warm caches
-    reads, truth = simulate_pairs(codes, read_rng, N_PAIRS, return_truth=True)
-    t0 = time.time()
-    results = aligner.align_seqs(reads)
-    t_align = time.time() - t0
-    n_reads = len(reads)
-    mapped = sum(1 for r in results if r and not (r[0].sam_flag & 0x4))
-    # coordinate audit vs simulation truth (within one read length)
-    good = 0
-    for recs, (pos, _is_rev) in zip(results, truth):
-        if recs and not (recs[0].sam_flag & 0x4):
-            if abs(recs[0].ref_start - pos) <= 160:
-                good += 1
-    rate = n_reads / t_align
-    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    index.close()
-    rec = {
-        "metric": "grch38_scale_end_to_end",
-        "ref_len": REF_LEN,
-        "reads": n_reads,
-        "mapped_frac": round(mapped / n_reads, 4),
-        "coord_correct_frac": round(good / n_reads, 4),
-        "reads_per_sec": round(rate, 1),
-        "build_s": round(t_build, 1),
-        "image_roundtrip_s": round(t_image, 1),
-        "image_bytes": os.path.getsize(img),
-        "peak_rss_gb": round(peak_gb, 1),
-    }
-    assert mapped >= 0.95 * n_reads, rec
-    assert good >= 0.90 * n_reads, rec
-    with open(out_path, "w") as f:
-        json.dump(rec, f)
-        f.write("\n")
-    print(json.dumps(rec), flush=True)
-
+from gbp_bench import main  # noqa: E402
 
 if __name__ == "__main__":
     main()

@@ -118,8 +118,9 @@ def cmd_mem(args) -> int:
     if getattr(args, "shard", None):
         try:
             shard_i, shard_n = (int(x) for x in args.shard.split("/"))
-            assert 0 <= shard_i < shard_n
-        except (ValueError, AssertionError):
+            if not 0 <= shard_i < shard_n:
+                raise ValueError(args.shard)
+        except ValueError:
             print(f"[bwamem_tpu] bad --shard {args.shard!r} (want I/N)",
                   file=sys.stderr)
             return 2
@@ -255,7 +256,9 @@ def main(argv=None) -> int:
     p_mem.add_argument(
         "--shard", default=None, metavar="I/N",
         help="align only reads with ordinal %% N == I (cluster partitioning; "
-             "shard outputs merge to exactly the unsharded SAM)",
+             "shard outputs merge to exactly the unsharded SAM — for "
+             "paired-end provide --insert-mean, since inferred insert "
+             "stats are per-process by design)",
     )
     p_mem.set_defaults(func=cmd_mem)
     args = ap.parse_args(argv)

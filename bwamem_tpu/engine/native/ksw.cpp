@@ -24,6 +24,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -150,8 +153,6 @@ void ksw_extend_one(const uint8_t* q, int qlen, const uint8_t* t, int tlen,
 // (the long-read/chimeric regime); short reads keep the scalar loop.
 
 #if defined(__AVX2__)
-#include <immintrin.h>
-
 namespace vx {
 
 constexpr int32_t NEG = INT32_MIN / 2;

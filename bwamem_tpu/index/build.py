@@ -144,9 +144,12 @@ class BwaIndex:
         )
     except (ValueError, OSError, AttributeError):  # non-POSIX fallback
         pass
-    _UNPACK_CACHE_MAX = int(
-        os.environ.get("BWAMEM_TPU_UNPACK_MAX", _UNPACK_CACHE_MAX)
-    )
+    try:
+        _UNPACK_CACHE_MAX = int(
+            os.environ.get("BWAMEM_TPU_UNPACK_MAX", _UNPACK_CACHE_MAX)
+        )
+    except ValueError:  # malformed override: keep the host-sized default
+        pass
 
     def get_seq(self, beg: int, end: int) -> np.ndarray:
         """Fetch codes for [beg, end) on the doubled 2*l_pac domain.

@@ -32,12 +32,10 @@ from jax import lax
 def _doubling_round(rank, k, total):
     """One prefix-doubling round: sort by (rank[i], rank[i+k]), re-rank."""
     idx = jnp.arange(total, dtype=jnp.int32)
-    shifted = idx + k
-    second = jnp.where(
-        shifted < total,
-        rank[jnp.minimum(shifted, total - 1)],
-        jnp.int32(-1),
-    )
+    # int32-overflow-safe: idx + k < total  <=>  idx < total - k (k <= total)
+    in_range = idx < total - k
+    shifted = jnp.where(in_range, idx + k, 0)
+    second = jnp.where(in_range, rank[shifted], jnp.int32(-1))
     r_s, s_s, sa = lax.sort((rank, second, idx), num_keys=2, is_stable=True)
     bump = jnp.concatenate(
         [
@@ -67,7 +65,11 @@ def _suffix_array_fixed(codes: jnp.ndarray) -> jnp.ndarray:
     def body(state):
         rank, _, k = state
         new_rank, sa = _doubling_round(rank, k, total)
-        return new_rank, sa, k * 2
+        # cap k at total before doubling can wrap int32; ranks are provably
+        # distinct at k >= total (unique sentinel), so the cap only ends
+        # the loop it would have ended anyway
+        next_k = jnp.where(k >= (total + 1) // 2, jnp.int32(total), k * 2)
+        return new_rank, sa, next_k
 
     _, sa, _ = lax.while_loop(cond, body, (rank, sa, jnp.int32(1)))
     return sa

@@ -24,6 +24,20 @@ _verdict: bool | None = None
 
 def _probe() -> bool:
     try:
+        import sys
+
+        # Never let the auto-path be the FIRST thing to initialize JAX: on
+        # exclusive-grant rigs (one chip per process) jax.devices() in a
+        # host-path process would acquire — or block on — the chip.  Probe
+        # only when this process already runs a JAX backend (mesh /
+        # device-seed / explicitly device-routed callers).
+        jax_mod = sys.modules.get("jax")
+        if jax_mod is None:
+            return False
+        from jax._src import xla_bridge as _xb
+
+        if not getattr(_xb, "_backends", None):
+            return False
         import jax
         import numpy as np
 
