@@ -27,7 +27,7 @@ from .api.options import (
 from .api.pestats import DO_NOT_INFER, FAILED, BwaMemPairEndStats
 from .api import exceptions
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BwaMemAligner",
