@@ -15,6 +15,7 @@
 #include "ksw.cpp"        // ksw_global_one, gen_cigar2_one + C ABI twins
 #include "align_core.cpp" // Opts, Bns, Chain, build_chains, chain2aln
 
+#include <atomic>
 #include <chrono>
 #include <cmath>
 #include <cstdio>
@@ -453,6 +454,28 @@ static void append_i64(std::string& s, int64_t v) {
   s += tmp;
 }
 
+// NATIVE_PROF sub-phase accumulators (ns); zeroed per batch, printed with
+// the phase laps when BWAMEM_TPU_NATIVE_PROF=1
+static std::atomic<long long> g_ns_matesw{0}, g_ns_xa{0}, g_ns_rec{0};
+static bool g_prof_enabled = false;
+
+struct SubTimer {
+  std::atomic<long long>* acc;
+  std::chrono::steady_clock::time_point t0;
+  explicit SubTimer(std::atomic<long long>& a) : acc(nullptr) {
+    if (g_prof_enabled) {
+      acc = &a;
+      t0 = std::chrono::steady_clock::now();
+    }
+  }
+  ~SubTimer() {
+    if (acc)
+      *acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+  }
+};
+
 // [EXT] mem_gen_alt (engine/pipeline.py::gen_alt_xa); xa[k] empty -> None
 static void gen_alt_xa(const FullOpt& o, const Bns& bns, const Names& nm,
                        std::vector<RegT>& regs, int64_t qlen,
@@ -652,60 +675,137 @@ struct SwHit {
 
 // [EXT] ksw_align2 semantics (engine/pair.py::sw_local); scalar recurrence
 // equals the oracle's prefix-max closed form for o>=0 affine gaps
-static void sw_forward(const int8_t* mat, const uint8_t* q, int64_t qlen,
-                       const uint8_t* t, int64_t tlen, int64_t oe_del,
-                       int64_t e_del, int64_t oe_ins, int64_t e_ins,
-                       std::vector<int64_t>& H, std::vector<int64_t>& E,
-                       std::vector<int64_t>& rowmax) {
-  H.assign(qlen, 0);
-  E.assign(qlen, 0);
-  rowmax.assign(tlen, 0);
-  for (int64_t i = 0; i < tlen; ++i) {
-    const int8_t* qp = mat + (int64_t)t[i] * 5;
-    int64_t hdiag = 0, f = 0, rmax = 0;
-    for (int64_t j = 0; j < qlen; ++j) {
-      int64_t Hj = H[j];
-      int64_t e = std::max(std::max(E[j] - e_del, Hj - oe_del), (int64_t)0);
-      int64_t M = hdiag + qp[q[j]];
-      int64_t hbase = std::max(std::max(M, e), (int64_t)0);
-      int64_t h = std::max(hbase, f);
-      E[j] = e;
-      H[j] = h;
-      hdiag = Hj;
-      f = std::max(std::max(f - e_ins, hbase - oe_ins), (int64_t)0);
-      rmax = std::max(rmax, h);
+// Local-SW core for mate rescue ([EXT] ksw_align2 semantics,
+// engine/pair.py::sw_local).  The row recurrence uses the M-based gap
+// opening of ksw.c: f depends on hbase (not h), so the same prefix-max
+// reformulation as the extension kernels applies —
+//   f[j] = max(0, max_{k<j}(hbase[k] + k*e_ins) - oe_ins - (j-1)*e_ins)
+// — making every cell elementwise plus one log-step scan.  Rows run
+// 8-wide AVX2 (int32 lanes; scores are query-length bounded) with a
+// scalar tail/fallback carrying the identical recurrence; bit-exact vs
+// the python oracle incl. the first-max argmax tie-break.
+//
+// H/E rows are 1-padded (index 0 = boundary 0) and H is double-buffered
+// so the diagonal term is a plain unaligned load of the previous row.
+
+struct SwScratch {
+  std::vector<int32_t> Ha, Hb, E;
+  std::vector<int8_t> prof;
+  std::vector<int64_t> rowmax;
+};
+
+static inline int32_t sw_row_core(const int8_t* prow, int64_t qlen,
+                                  const int32_t* Hold, int32_t* Hnew,
+                                  int32_t* E, int32_t oe_del, int32_t e_del,
+                                  int32_t oe_ins, int32_t e_ins) {
+  int32_t rmax = 0;
+  int64_t j = 1;
+  int32_t f = 0;
+#if defined(__AVX2__)
+  if (qlen >= 16) {
+    const __m256i vzero = _mm256_setzero_si256();
+    const __m256i voedel = _mm256_set1_epi32(oe_del);
+    const __m256i vedel = _mm256_set1_epi32(e_del);
+    const __m256i voeins = _mm256_set1_epi32(oe_ins);
+    const __m256i veins = _mm256_set1_epi32(e_ins);
+    const __m256i viota = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+    __m256i vrmax = vzero;
+    int32_t carry = vx::NEG;
+    int64_t vec_end = 1 + ((qlen) & ~7);
+    for (; j < vec_end; j += 8) {
+      __m256i vHp = _mm256_loadu_si256((const __m256i*)&Hold[j]);
+      __m256i vHd = _mm256_loadu_si256((const __m256i*)&Hold[j - 1]);
+      __m256i vq = _mm256_cvtepi8_epi32(
+          _mm_loadl_epi64((const __m128i*)&prow[j - 1]));
+      __m256i vE = _mm256_loadu_si256((const __m256i*)&E[j]);
+      __m256i vEn = _mm256_max_epi32(
+          _mm256_max_epi32(_mm256_sub_epi32(vE, vedel),
+                           _mm256_sub_epi32(vHp, voedel)),
+          vzero);
+      _mm256_storeu_si256((__m256i*)&E[j], vEn);
+      __m256i vM = _mm256_add_epi32(vHd, vq);
+      __m256i vhb = _mm256_max_epi32(_mm256_max_epi32(vM, vEn), vzero);
+      __m256i vj = _mm256_add_epi32(_mm256_set1_epi32((int32_t)j), viota);
+      __m256i vje = _mm256_mullo_epi32(vj, veins);
+      __m256i vg = _mm256_add_epi32(vhb, vje);
+      __m256i incl = _mm256_max_epi32(vg, vx::shiftl<1>(vg));
+      incl = _mm256_max_epi32(incl, vx::shiftl<2>(incl));
+      incl = _mm256_max_epi32(incl, vx::shiftl<4>(incl));
+      __m256i excl = _mm256_max_epi32(vx::shiftl<1>(incl),
+                                      _mm256_set1_epi32(carry));
+      carry = std::max(carry, (int32_t)_mm256_extract_epi32(incl, 7));
+      // f[j] = max(0, excl - oe_ins - (j-1)*e_ins)
+      __m256i vf = _mm256_max_epi32(
+          _mm256_sub_epi32(excl,
+                           _mm256_add_epi32(_mm256_sub_epi32(vje, veins),
+                                            voeins)),
+          vzero);
+      __m256i vh = _mm256_max_epi32(vhb, vf);
+      _mm256_storeu_si256((__m256i*)&Hnew[j], vh);
+      vrmax = _mm256_max_epi32(vrmax, vh);
     }
-    rowmax[i] = rmax;
+    alignas(32) int32_t tmp[8];
+    _mm256_store_si256((__m256i*)tmp, vrmax);
+    for (int k = 0; k < 8; ++k) rmax = std::max(rmax, tmp[k]);
+    // reconstruct the serial f entering the scalar tail
+    if (j > 1)
+      f = std::max(carry - oe_ins - (int32_t)(j - 1) * e_ins, 0);
   }
+#endif
+  for (; j <= qlen; ++j) {
+    int32_t e = std::max(std::max(E[j] - e_del, Hold[j] - oe_del), 0);
+    int32_t M = Hold[j - 1] + prow[j - 1];
+    int32_t hbase = std::max(std::max(M, e), 0);
+    int32_t h = std::max(hbase, f);
+    E[j] = e;
+    Hnew[j] = h;
+    rmax = std::max(rmax, h);
+    f = std::max(std::max(f - e_ins, hbase - oe_ins), 0);
+  }
+  return rmax;
+}
+
+// Runs rows [0, rows); leaves the last row in *Hout (1-padded).  When
+// rowmax != nullptr it records each row's max.
+static void sw_run(const int8_t* mat, const uint8_t* q, int64_t qlen,
+                   const uint8_t* t, int64_t rows, int32_t oe_del,
+                   int32_t e_del, int32_t oe_ins, int32_t e_ins,
+                   SwScratch& s, std::vector<int64_t>* rowmax,
+                   const int32_t** Hout) {
+  s.prof.resize((size_t)5 * qlen);
+  for (int k = 0; k < 5; ++k)
+    for (int64_t j = 0; j < qlen; ++j)
+      s.prof[(size_t)k * qlen + j] = mat[k * 5 + q[j]];
+  size_t nbuf = (size_t)qlen + 9;
+  s.Ha.assign(nbuf, 0);
+  s.Hb.assign(nbuf, 0);
+  s.E.assign(nbuf, 0);
+  int32_t* Hold = s.Ha.data();
+  int32_t* Hnew = s.Hb.data();
+  if (rowmax) rowmax->assign(rows, 0);
+  for (int64_t i = 0; i < rows; ++i) {
+    int32_t rmax =
+        sw_row_core(&s.prof[(size_t)t[i] * qlen], qlen, Hold, Hnew, s.E.data(),
+                    oe_del, e_del, oe_ins, e_ins);
+    if (rowmax) (*rowmax)[i] = rmax;
+    std::swap(Hold, Hnew);
+  }
+  *Hout = Hold;  // last completed row
 }
 
 static int64_t sw_row_argmax(const int8_t* mat, const uint8_t* q, int64_t qlen,
-                             const uint8_t* t, int64_t oe_del, int64_t e_del,
-                             int64_t oe_ins, int64_t e_ins, int64_t row,
-                             std::vector<int64_t>& H,
-                             std::vector<int64_t>& E) {
-  H.assign(qlen, 0);
-  E.assign(qlen, 0);
-  for (int64_t i = 0; i <= row; ++i) {
-    const int8_t* qp = mat + (int64_t)t[i] * 5;
-    int64_t hdiag = 0, f = 0;
-    for (int64_t j = 0; j < qlen; ++j) {
-      int64_t Hj = H[j];
-      int64_t e = std::max(std::max(E[j] - e_del, Hj - oe_del), (int64_t)0);
-      int64_t M = hdiag + qp[q[j]];
-      int64_t hbase = std::max(std::max(M, e), (int64_t)0);
-      int64_t h = std::max(hbase, f);
-      E[j] = e;
-      H[j] = h;
-      hdiag = Hj;
-      f = std::max(std::max(f - e_ins, hbase - oe_ins), (int64_t)0);
-    }
-  }
-  int64_t best = H[0], arg = 0;
-  for (int64_t j = 1; j < qlen; ++j)
+                             const uint8_t* t, int32_t oe_del, int32_t e_del,
+                             int32_t oe_ins, int32_t e_ins, int64_t row,
+                             SwScratch& s) {
+  const int32_t* H;
+  sw_run(mat, q, qlen, t, row + 1, oe_del, e_del, oe_ins, e_ins, s, nullptr,
+         &H);
+  int32_t best = H[1];
+  int64_t arg = 0;
+  for (int64_t j = 2; j <= qlen; ++j)
     if (H[j] > best) {
       best = H[j];
-      arg = j;
+      arg = j - 1;
     }
   return arg;
 }
@@ -716,10 +816,12 @@ static SwHit sw_local(const int8_t* mat, const uint8_t* qseq, int64_t qlen,
                       int64_t minsc) {
   SwHit r;
   if (qlen == 0 || tlen == 0) return r;
-  int64_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
-  std::vector<int64_t> H, E, rowmax;
-  sw_forward(mat, qseq, qlen, tseq, tlen, oe_del, e_del, oe_ins, e_ins, H, E,
-             rowmax);
+  int32_t oe_del = (int32_t)(o_del + e_del), oe_ins = (int32_t)(o_ins + e_ins);
+  static thread_local SwScratch s;
+  std::vector<int64_t> rowmax;
+  const int32_t* Hlast;
+  sw_run(mat, qseq, qlen, tseq, tlen, oe_del, (int32_t)e_del, oe_ins,
+         (int32_t)e_ins, s, &rowmax, &Hlast);
   int64_t gmax = 0, te = -1;
   std::vector<int64_t> bscores, brows;
   for (int64_t i = 0; i < tlen; ++i) {
@@ -741,8 +843,8 @@ static SwHit sw_local(const int8_t* mat, const uint8_t* qseq, int64_t qlen,
   if (gmax == 0) return r;
   r.score = gmax;
   r.te = te;
-  r.qe = sw_row_argmax(mat, qseq, qlen, tseq, oe_del, e_del, oe_ins, e_ins, te,
-                       H, E);
+  r.qe = sw_row_argmax(mat, qseq, qlen, tseq, oe_del, (int32_t)e_del, oe_ins,
+                       (int32_t)e_ins, te, s);
   int64_t low = te - qlen, high = te + qlen;
   for (size_t k = 0; k < bscores.size(); ++k) {
     if ((brows[k] < low || brows[k] > high) && bscores[k] > r.score2) {
@@ -754,14 +856,15 @@ static SwHit sw_local(const int8_t* mat, const uint8_t* qseq, int64_t qlen,
   std::vector<uint8_t> rq(qseq, qseq + r.qe + 1), rt(tseq, tseq + r.te + 1);
   std::reverse(rq.begin(), rq.end());
   std::reverse(rt.begin(), rt.end());
-  std::vector<int64_t> H2, E2, rmax2;
-  sw_forward(mat, rq.data(), (int64_t)rq.size(), rt.data(), (int64_t)rt.size(),
-             oe_del, e_del, oe_ins, e_ins, H2, E2, rmax2);
+  std::vector<int64_t> rmax2;
+  const int32_t* H2;
+  sw_run(mat, rq.data(), (int64_t)rq.size(), rt.data(), (int64_t)rt.size(),
+         oe_del, (int32_t)e_del, oe_ins, (int32_t)e_ins, s, &rmax2, &H2);
   for (int64_t i = 0; i < (int64_t)rt.size(); ++i) {
     if (rmax2[i] == gmax) {
       int64_t jrev = sw_row_argmax(mat, rq.data(), (int64_t)rq.size(),
-                                   rt.data(), oe_del, e_del, oe_ins, e_ins, i,
-                                   H2, E2);
+                                   rt.data(), oe_del, (int32_t)e_del, oe_ins,
+                                   (int32_t)e_ins, i, s);
       r.tb = r.te - i;
       r.qb = r.qe - jrev;
       break;
@@ -1048,7 +1151,10 @@ static bool try_pair_output(const FullOpt& o, const Bns& bns, const Names& nm,
   std::vector<std::string> xa[2];
   for (int i = 0; i < 2; ++i) {
     if (!(o.i(OI_FLAG) & F_ALL))
-      gen_alt_xa(o, bns, nm, regs2[i], qlens[i], seqs[i], xa[i], s);
+      {
+        SubTimer st(g_ns_xa);
+        gen_alt_xa(o, bns, nm, regs2[i], qlens[i], seqs[i], xa[i], s);
+      }
     else
       xa[i].assign(regs2[i].size(), std::string());
   }
@@ -1083,6 +1189,7 @@ static void sam_pe(const FullOpt& o, const Bns& bns, const Names& nm,
       for (const RegT& r : regs2[i])
         if (r.score >= regs2[i][0].score - o.i(OI_PEN_UNPAIRED))
           cand[i].push_back(r);
+    SubTimer st(g_ns_matesw);
     for (int i = 0; i < 2; ++i)
       for (int64_t j = 0;
            j < (int64_t)cand[i].size() && j < o.i(OI_MAX_MATESW); ++j)
@@ -1112,6 +1219,7 @@ static void sam_pe(const FullOpt& o, const Bns& bns, const Names& nm,
     if (!pes[d].failed && pes[d].low <= dist && dist <= pes[d].high)
       extra_flag |= 2;
   }
+  SubTimer st_rec(g_ns_rec);
   reg2sam_records(o, bns, nm, qlens[0], seqs[0], regs2[0], 0x40 | extra_flag,
                   &h[1], out01[0], s);
   reg2sam_records(o, bns, nm, qlens[1], seqs[1], regs2[1], 0x80 | extra_flag,
@@ -1165,6 +1273,10 @@ void bwamem_pipeline_batch(
     const char* e = getenv("BWAMEM_TPU_NATIVE_PROF");
     return e && e[0] == '1';
   }();
+  g_prof_enabled = prof;
+  g_ns_matesw = 0;
+  g_ns_xa = 0;
+  g_ns_rec = 0;
   auto t0 = std::chrono::steady_clock::now();
   auto lap = [&](const char* name) {
     if (!prof) return;
@@ -1268,6 +1380,11 @@ void bwamem_pipeline_batch(
   }
 
   lap("pair+finalize");
+  if (prof)
+    fprintf(stderr,
+            "[native_prof]   matesw %.1fms  xa %.1fms  reg2sam %.1fms\n",
+            g_ns_matesw.load() / 1e6, g_ns_xa.load() / 1e6,
+            g_ns_rec.load() / 1e6);
   // serialize into flat arenas
   int64_t n_rec = 0, cig_len = 0, str_len = 0;
   for (const auto& rl : recs)
