@@ -12,8 +12,10 @@
 // words, int64 L2/sa).
 
 #include <algorithm>
+#include <coroutine>
 #include <cstdint>
 #include <cstring>
+#include <exception>
 #include <vector>
 #ifdef _OPENMP
 #include <omp.h>
@@ -174,146 +176,231 @@ inline void set_intv(const FM& fm, int c, Intv& ik) {
   ik.info = 0;
 }
 
-// exact mirror of engine/seed.py::smem1a (itself [EXT] bwt_smem1a)
-int smem1a(const FM& fm, const uint8_t* q, int len, int x, int64_t min_intv,
-           int64_t max_intv, std::vector<Intv>& mems,
-           std::vector<Intv>& curr, std::vector<Intv>& prev) {
-  if (q[x] > 3) return x + 1;
-  size_t mems0 = mems.size();
-  Intv ik, ok[4];
-  set_intv(fm, q[x], ik);
-  ik.info = x + 1;
-  curr.clear();
-  int i = x + 1;
-  for (; i < len; ++i) {
-    if (ik.s < max_intv) {
-      curr.push_back(ik);
-      break;
+// ---------------------------------------------------------------------------
+// Interleaved seeding: SMEM generation is a serial pointer-chase through the
+// occ table (every bwt_extend = one-two random 64-byte blocks), but chases
+// for DIFFERENT reads are independent.  The three-round collect_intv runs as
+// a C++20 coroutine that suspends immediately before every rank query after
+// prefetching its block(s); a per-thread scheduler round-robins G reads, so
+// each lane's block arrives while the other lanes compute — ~G misses in
+// flight per core instead of one.  Control flow is the plain
+// smem1a/seed_strategy1/collect_intv code with suspension points added
+// (semantics pinned by the interval-exact oracle tests + fuzz).
+
+struct SeedTask {
+  struct promise_type {
+    SeedTask get_return_object() {
+      return SeedTask{
+          std::coroutine_handle<promise_type>::from_promise(*this)};
     }
-    if (q[i] < 4) {
-      int c = 3 - q[i];
-      bwt_extend(fm, ik, ok, false);
-      if (ok[c].s != ik.s) {
-        curr.push_back(ik);
-        if (ok[c].s < min_intv) break;
-      }
-      ok[c].info = i + 1;
-      ik = ok[c];
-    } else {
-      curr.push_back(ik);
-      break;
+    std::suspend_always initial_suspend() noexcept { return {}; }
+    std::suspend_always final_suspend() noexcept { return {}; }
+    void return_void() noexcept {}
+    void unhandled_exception() { std::terminate(); }
+  };
+  std::coroutine_handle<promise_type> h;
+};
+
+// Suspend-after-prefetch of the occ block(s) a bwt_extend is about to read.
+struct PfExtend {
+  const FM* fm;
+  int64_t k, l;  // occ4_pair(k, l) positions (k = xq-1, l = xq-1+s)
+  bool await_ready() const noexcept {
+    if (k >= 0 && k < fm->seq_len) {
+      int64_t kk = k - (k >= fm->primary);
+      __builtin_prefetch(fm->fused + ((kk >> 7) << 6));
     }
+    if (l >= 0 && l < fm->seq_len) {
+      int64_t ll = l - (l >= fm->primary);
+      __builtin_prefetch(fm->fused + ((ll >> 7) << 6));
+    }
+    return false;  // always yield to the lane scheduler
   }
-  if (i == len) curr.push_back(ik);
-  int ret = curr.empty() ? x + 1 : (int)curr.back().info;
-  std::reverse(curr.begin(), curr.end());  // longest match first
-  prev = curr;
-  for (i = x - 1; i >= -1; --i) {
-    int c = (i < 0 || q[i] > 3) ? -1 : q[i];
-    curr.clear();
-    for (size_t j = 0; j < prev.size(); ++j) {
-      if (j + 1 < prev.size()) {
-        // the next interval's rank-query block is independent: prefetch
-        int64_t nx = prev[j + 1].x0 - 1;
-        if (nx >= 0 && nx < fm.seq_len)
-          __builtin_prefetch(fm.fused + (((nx - (nx >= fm.primary)) >> 7) << 6));
+  void await_suspend(std::coroutine_handle<>) const noexcept {}
+  void await_resume() const noexcept {}
+};
+
+// Full three-round mem_collect_intv as one coroutine (the single source of
+// truth for the native seeding control flow).
+static SeedTask collect_intv_co(const FM& fm, const uint8_t* q, int len,
+                                int min_seed_len, int split_len,
+                                int split_width, int64_t max_mem_intv,
+                                std::vector<Intv>& mems) {
+  std::vector<Intv> tmp, curr, prev;
+  // rounds 1 (all starts, min_intv=1) and 2 (re-seed long/low-occ mems)
+  int x = 0;
+  size_t k2 = 0, old_n = 0;
+  for (int round = 1; round <= 2; ++round) {
+    for (;;) {
+      int start;
+      int64_t min_intv;
+      if (round == 1) {
+        while (x < len && q[x] > 3) ++x;
+        if (x >= len) break;
+        start = x;
+        min_intv = 1;
+      } else {
+        bool found = false;
+        while (k2 < old_n) {
+          Intv p = mems[k2];
+          int qb = (int)(p.info >> 32), qe = (int)(p.info & 0xFFFFFFFFll);
+          ++k2;
+          if (qe - qb < split_len || p.s > split_width) continue;
+          start = (qb + qe) >> 1;
+          min_intv = p.s + 1;
+          found = true;
+          break;
+        }
+        if (!found) break;
       }
-      const Intv& p = prev[j];
-      bool did_ext = (c >= 0 && p.s >= max_intv);
-      if (did_ext) bwt_extend(fm, p, ok, true);
-      if (c < 0 || p.s < max_intv || ok[c].s < min_intv) {
-        if (curr.empty()) {
-          bool keep = (mems.size() == mems0) ||
-                      (int64_t)(i + 1) < (mems.back().info >> 32);
-          if (keep) {
-            Intv m = p;
-            m.info = ((int64_t)(i + 1) << 32) | (m.info & 0xFFFFFFFFll);
-            mems.push_back(m);
+      // --- smem1a(start, min_intv, max_intv=0) with suspension points ---
+      tmp.clear();
+      int ret = start + 1;
+      if (q[start] <= 3) {
+        size_t mems0 = tmp.size();
+        Intv ik, ok[4];
+        set_intv(fm, q[start], ik);
+        ik.info = start + 1;
+        curr.clear();
+        int i = start + 1;
+        for (; i < len; ++i) {
+          if (ik.s < 0) {  // max_intv == 0: never taken; kept for parity
+            curr.push_back(ik);
+            break;
+          }
+          if (q[i] < 4) {
+            int c = 3 - q[i];
+            co_await PfExtend{&fm, ik.x1 - 1, ik.x1 - 1 + ik.s};
+            bwt_extend(fm, ik, ok, false);
+            if (ok[c].s != ik.s) {
+              curr.push_back(ik);
+              if (ok[c].s < min_intv) break;
+            }
+            ok[c].info = i + 1;
+            ik = ok[c];
+          } else {
+            curr.push_back(ik);
+            break;
           }
         }
-      } else if (curr.empty() || ok[c].s != curr.back().s) {
-        ok[c].info = p.info;
-        curr.push_back(ok[c]);
+        if (i == len) curr.push_back(ik);
+        ret = curr.empty() ? start + 1 : (int)curr.back().info;
+        std::reverse(curr.begin(), curr.end());
+        prev = curr;
+        for (i = start - 1; i >= -1; --i) {
+          int c = (i < 0 || q[i] > 3) ? -1 : q[i];
+          curr.clear();
+          for (size_t j = 0; j < prev.size(); ++j) {
+            const Intv& p = prev[j];
+            // max_intv == 0 here, so the plain code's `p.s >= max_intv`
+            // gate is exactly `c >= 0`
+            bool did_ext = (c >= 0);
+            if (did_ext) {
+              co_await PfExtend{&fm, p.x0 - 1, p.x0 - 1 + p.s};
+              bwt_extend(fm, p, ok, true);
+            }
+            if (c < 0 || ok[c].s < min_intv) {
+              if (curr.empty()) {
+                bool keep = (tmp.size() == mems0) ||
+                            (int64_t)(i + 1) < (tmp.back().info >> 32);
+                if (keep) {
+                  Intv m = p;
+                  m.info =
+                      ((int64_t)(i + 1) << 32) | (m.info & 0xFFFFFFFFll);
+                  tmp.push_back(m);
+                }
+              }
+            } else if (curr.empty() || ok[c].s != curr.back().s) {
+              ok[c].info = p.info;
+              curr.push_back(ok[c]);
+            }
+          }
+          if (curr.empty()) break;
+          std::swap(curr, prev);
+        }
+        std::reverse(tmp.begin() + mems0, tmp.end());
       }
-    }
-    if (curr.empty()) break;
-    std::swap(curr, prev);
-  }
-  std::reverse(mems.begin() + mems0, mems.end());
-  return ret;
-}
-
-// exact mirror of engine/seed.py::seed_strategy1 ([EXT] bwt_seed_strategy1)
-int seed_strategy1(const FM& fm, const uint8_t* q, int len, int x, int min_len,
-                   int64_t max_intv, Intv* out, bool* found) {
-  *found = false;
-  if (q[x] > 3) return x + 1;
-  Intv ik, ok[4];
-  set_intv(fm, q[x], ik);
-  for (int i = x + 1; i < len; ++i) {
-    if (q[i] < 4) {
-      int c = 3 - q[i];
-      bwt_extend(fm, ik, ok, false);
-      if (ok[c].s < max_intv && i - x >= min_len) {
-        *out = ok[c];
-        out->info = ((int64_t)x << 32) | (int64_t)(i + 1);
-        *found = true;
-        return i + 1;
-      }
-      ik = ok[c];
-    } else {
-      return i + 1;
-    }
-  }
-  return len;
-}
-
-// exact mirror of engine/seed.py::collect_intv ([EXT] mem_collect_intv)
-void collect_intv_one(const FM& fm, const uint8_t* q, int len,
-                      int min_seed_len, int split_len, int split_width,
-                      int64_t max_mem_intv, std::vector<Intv>& mems) {
-  std::vector<Intv> tmp, curr, prev;
-  int x = 0;
-  while (x < len) {
-    if (q[x] < 4) {
-      tmp.clear();
-      x = smem1a(fm, q, len, x, 1, 0, tmp, curr, prev);
       for (const Intv& m : tmp) {
         int qb = (int)(m.info >> 32), qe = (int)(m.info & 0xFFFFFFFFll);
         if (qe - qb >= min_seed_len) mems.push_back(m);
       }
-    } else {
-      ++x;
+      if (round == 1) x = ret;
+    }
+    if (round == 1) {
+      old_n = mems.size();
+      k2 = 0;
     }
   }
-  size_t old_n = mems.size();
-  for (size_t k = 0; k < old_n; ++k) {
-    Intv p = mems[k];
-    int qb = (int)(p.info >> 32), qe = (int)(p.info & 0xFFFFFFFFll);
-    if (qe - qb < split_len || p.s > split_width) continue;
-    tmp.clear();
-    smem1a(fm, q, len, (qb + qe) >> 1, p.s + 1, 0, tmp, curr, prev);
-    for (const Intv& m : tmp) {
-      int b = (int)(m.info >> 32), e = (int)(m.info & 0xFFFFFFFFll);
-      if (e - b >= min_seed_len) mems.push_back(m);
-    }
-  }
+  // round 3: LAST-like re-seeding ([EXT] bwt_seed_strategy1)
   if (max_mem_intv > 0) {
     x = 0;
     while (x < len) {
-      if (q[x] < 4) {
-        Intv m;
-        bool found;
-        x = seed_strategy1(fm, q, len, x, min_seed_len, max_mem_intv, &m,
-                           &found);
-        if (found && m.s > 0) mems.push_back(m);
-      } else {
+      if (q[x] > 3) {
         ++x;
+        continue;
       }
+      // seed_strategy1(x) with suspension points
+      int ret = len;
+      bool found = false;
+      Intv out, ik, ok[4];
+      set_intv(fm, q[x], ik);
+      for (int i = x + 1; i < len; ++i) {
+        if (q[i] < 4) {
+          int c = 3 - q[i];
+          co_await PfExtend{&fm, ik.x1 - 1, ik.x1 - 1 + ik.s};
+          bwt_extend(fm, ik, ok, false);
+          if (ok[c].s < max_mem_intv && i - x >= min_seed_len) {
+            out = ok[c];
+            out.info = ((int64_t)x << 32) | (int64_t)(i + 1);
+            found = true;
+            ret = i + 1;
+            break;
+          }
+          ik = ok[c];
+        } else {
+          ret = i + 1;
+          break;
+        }
+      }
+      if (found && out.s > 0) mems.push_back(out);
+      x = ret;
     }
   }
   std::sort(mems.begin(), mems.end(),
             [](const Intv& a, const Intv& b) { return a.info < b.info; });
+  co_return;
+}
+
+// Lanes interleaved per core: enough in-flight misses to cover DRAM latency
+// without thrashing L1 with coroutine frames (tuned on the chr20 config).
+constexpr int kSeedLanes = 8;
+
+// Drive a group of reads' seeding coroutines round-robin.
+static void collect_intv_group(const FM& fm, int n, const uint8_t* const* qs,
+                               const int* lens, int min_seed_len,
+                               int split_len, int split_width,
+                               int64_t max_mem_intv,
+                               std::vector<Intv>* mems_out) {
+  constexpr int G = kSeedLanes;
+  std::coroutine_handle<SeedTask::promise_type> hs[G] = {};
+  int alive = 0;
+  for (int i = 0; i < n && i < G; ++i) {
+    hs[i] = collect_intv_co(fm, qs[i], lens[i], min_seed_len, split_len,
+                            split_width, max_mem_intv, mems_out[i])
+                .h;
+    ++alive;
+  }
+  while (alive > 0) {
+    for (int i = 0; i < G; ++i) {
+      if (!hs[i]) continue;
+      hs[i].resume();
+      if (hs[i].done()) {
+        hs[i].destroy();
+        hs[i] = nullptr;
+        --alive;
+      }
+    }
+  }
 }
 
 // sampled-SA position of conceptual row k ([EXT] bwt_sa)
@@ -358,15 +445,26 @@ void bwamem_collect_intv_batch(
     const int32_t* rlen, int min_seed_len, int split_len, int split_width,
     int64_t max_mem_intv, int64_t* n_out, int64_t* out_off, int64_t* out) {
   FM fm{fused, L2, sa, primary, seq_len, sa_intv};
-#pragma omp parallel for schedule(dynamic, 8)
+  std::vector<std::vector<Intv>> all(n_reads);
+  int64_t n_groups = (n_reads + kSeedLanes - 1) / kSeedLanes;
+#pragma omp parallel for schedule(dynamic, 2)
+  for (int64_t g = 0; g < n_groups; ++g) {
+    int64_t lo = g * kSeedLanes,
+            hi = std::min(lo + kSeedLanes, n_reads);
+    const uint8_t* qs[kSeedLanes];
+    int lens[kSeedLanes];
+    for (int64_t k = lo; k < hi; ++k) {
+      qs[k - lo] = rbuf + roff[k];
+      lens[k - lo] = rlen[k];
+    }
+    collect_intv_group(fm, (int)(hi - lo), qs, lens, min_seed_len, split_len,
+                       split_width, max_mem_intv, &all[lo]);
+  }
   for (int64_t i = 0; i < n_reads; ++i) {
-    std::vector<Intv> mems;
-    collect_intv_one(fm, rbuf + roff[i], rlen[i], min_seed_len, split_len,
-                     split_width, max_mem_intv, mems);
-    n_out[i] = (int64_t)mems.size();
+    n_out[i] = (int64_t)all[i].size();
     if (out != nullptr) {
       int64_t* row = out + out_off[i] * 5;
-      for (const Intv& m : mems) {
+      for (const Intv& m : all[i]) {
         row[0] = m.x0;
         row[1] = m.x1;
         row[2] = m.s;
@@ -389,12 +487,21 @@ int64_t* bwamem_collect_intv_batch_alloc(
     int64_t max_mem_intv, int64_t* n_out) {
   FM fm{fused, L2, sa, primary, seq_len, sa_intv};
   std::vector<std::vector<Intv>> all(n_reads);
-#pragma omp parallel for schedule(dynamic, 8)
-  for (int64_t i = 0; i < n_reads; ++i) {
-    collect_intv_one(fm, rbuf + roff[i], rlen[i], min_seed_len, split_len,
-                     split_width, max_mem_intv, all[i]);
-    n_out[i] = (int64_t)all[i].size();
+  int64_t n_groups = (n_reads + kSeedLanes - 1) / kSeedLanes;
+#pragma omp parallel for schedule(dynamic, 2)
+  for (int64_t g = 0; g < n_groups; ++g) {
+    int64_t lo = g * kSeedLanes,
+            hi = std::min(lo + kSeedLanes, n_reads);
+    const uint8_t* qs[kSeedLanes];
+    int lens[kSeedLanes];
+    for (int64_t k = lo; k < hi; ++k) {
+      qs[k - lo] = rbuf + roff[k];
+      lens[k - lo] = rlen[k];
+    }
+    collect_intv_group(fm, (int)(hi - lo), qs, lens, min_seed_len, split_len,
+                       split_width, max_mem_intv, &all[lo]);
   }
+  for (int64_t i = 0; i < n_reads; ++i) n_out[i] = (int64_t)all[i].size();
   int64_t total = 0;
   for (int64_t i = 0; i < n_reads; ++i) total += n_out[i];
   int64_t* buf = (int64_t*)malloc(std::max<int64_t>(total, 1) * 5 * 8);

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import subprocess
 
-_BASE = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp"]
+_BASE = ["g++", "-O3", "-std=c++20", "-shared", "-fPIC", "-fopenmp"]
 _TUNED = ["-march=native", "-mtune=native"]
 
 

@@ -32,7 +32,7 @@ class BuildWithNatives(build_py):
         for srcs, out in _NATIVES:
             try:
                 subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                    ["g++", "-O3", "-std=c++20", "-shared", "-fPIC",
                      "-fopenmp", "-o", out, *srcs],
                     check=True, capture_output=True,
                 )
