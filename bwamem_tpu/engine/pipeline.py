@@ -89,10 +89,16 @@ def align_regs_batch(
     from . import native_chain
 
     # BWAMEM_TPU_DEVICE_SEED=1 routes the full three-round SMEM seeding
-    # through the device bwt_smem1a kernel (engine/seed_device.py)
+    # through the device bwt_smem1a kernel (engine/seed_device.py);
+    # BWAMEM_TPU_DEVICE_CHAIN=1 runs mem_chain+chain_flt as the vmapped
+    # lax.scan kernel (ops/chain_tpu.py)
     device_seed = os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1"
+    device_chain = os.environ.get("BWAMEM_TPU_DEVICE_CHAIN") == "1"
+    device_salk = os.environ.get("BWAMEM_TPU_DEVICE_SA_LOOKUP") == "1"
     if (
         not device_seed
+        and not device_chain
+        and not device_salk
         and native_fm.available()
         and native_chain.available()
         and use_device_extension
@@ -120,6 +126,18 @@ def align_regs_batch(
             spans.append(read_spans)
         if not flat_ks:
             flat_rbegs = np.zeros(0, dtype=np.int64)
+        elif (
+            os.environ.get("BWAMEM_TPU_DEVICE_SA_LOOKUP") == "1"
+            and eng.fm.seq_len < (1 << 31)
+        ):
+            from .seed_device import _get_dfm
+            from ..ops.fmindex_tpu import sa_lookup as sa_lookup_dev
+
+            flat_rbegs = np.asarray(
+                sa_lookup_dev(
+                    _get_dfm(eng.fm), np.asarray(flat_ks, dtype=np.int32)
+                )
+            ).astype(np.int64)
         elif native_fm.available():
             flat_rbegs = native_fm.sa_batch(
                 eng.fm, np.asarray(flat_ks, dtype=np.int64)
@@ -139,17 +157,33 @@ def align_regs_batch(
     from .chain import flt_chained_seeds
 
     with TIMERS.stage("chain"):
-        chains_list = []
-        for intervals, read_spans, query in zip(intervals_list, spans, reads):
-            rbegs_per_intv = [
-                flat_rbegs[off : off + ln] for off, ln in read_spans
+        if device_chain:
+            from ..ops.chain_tpu import chains_device_batch
+
+            rbegs_list = [
+                [flat_rbegs[off : off + ln] for off, ln in read_spans]
+                for read_spans in spans
             ]
-            chains = mem_chain(
-                opt, eng.fm, eng.idx.bns, len(query), intervals, rbegs_per_intv
+            chains_list = chains_device_batch(
+                opt, eng.fm, eng.idx.bns, reads, intervals_list, rbegs_list
             )
-            chains = chain_flt(opt, chains)
-            flt_chained_seeds(opt, eng.idx, len(query), query, chains)
-            chains_list.append(chains)
+            for query, chains in zip(reads, chains_list):
+                flt_chained_seeds(opt, eng.idx, len(query), query, chains)
+        else:
+            chains_list = []
+            for intervals, read_spans, query in zip(
+                intervals_list, spans, reads
+            ):
+                rbegs_per_intv = [
+                    flat_rbegs[off : off + ln] for off, ln in read_spans
+                ]
+                chains = mem_chain(
+                    opt, eng.fm, eng.idx.bns, len(query), intervals,
+                    rbegs_per_intv,
+                )
+                chains = chain_flt(opt, chains)
+                flt_chained_seeds(opt, eng.idx, len(query), query, chains)
+                chains_list.append(chains)
     with TIMERS.stage("extend"):
         regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
     with TIMERS.stage("dedup"):

@@ -190,3 +190,53 @@ def make_occ4_sharded(mesh, axis: str):
         )(ckpt, words, L2, k)
 
     return _sharded
+
+
+@partial(jax.jit, static_argnames=("primary", "seq_len", "sa_intv"))
+def sa_lookup_kernel(
+    ckpt, words, L2, sa, k, primary: int, seq_len: int, sa_intv: int
+):
+    """Sampled-SA resolution for a batch of conceptual rows ([EXT] bwt_sa).
+
+    Each row walks k -> LF(k) until it hits a sampled row; the walks run in
+    lockstep (one occ4 gather batch per tick), so the batch costs
+    max-steps ticks instead of sum-of-steps serial chases — the device
+    analog of the native lane-interleaved walker (fmindex.cpp
+    bwamem_sa_batch).  sa[0] == -1 is load-bearing exactly as in the host
+    oracle (engine/fmindex.py:247-251).
+    """
+    k = k.astype(jnp.int32)
+    lane = jnp.arange(k.shape[0])
+    steps = jnp.zeros_like(k)
+
+    def cond(st):
+        k, _ = st
+        return ((k % sa_intv) != 0).any()
+
+    def body(st):
+        k, steps = st
+        act = (k % sa_intv) != 0
+        at_p = k == primary
+        kk = jnp.clip(k - (k > primary).astype(jnp.int32), 0, None)
+        block = kk >> 7
+        within = kk & 127
+        word = words[block, within >> 4]
+        shift = (jnp.uint32(30) - jnp.uint32(2) * (within & 15).astype(jnp.uint32))
+        c = ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
+        cnt = occ4_device(ckpt, words, L2, k, primary, seq_len)
+        nk = L2[c].astype(jnp.int32) + cnt[lane, c]
+        nk = jnp.where(at_p, 0, nk)
+        k = jnp.where(act, nk, k)
+        steps = steps + act.astype(jnp.int32)
+        return k, steps
+
+    k, steps = jax.lax.while_loop(cond, body, (k, steps))
+    return sa[k // sa_intv] + steps
+
+
+def sa_lookup(dfm: DeviceFMIndex, k) -> jax.Array:
+    """Device bwt_sa over a batch of rows; exact vs FMIndex.sa_lookup."""
+    return sa_lookup_kernel(
+        dfm.ckpt, dfm.words, dfm.L2, dfm.sa, jnp.asarray(k),
+        dfm.primary, dfm.seq_len, dfm.sa_intv,
+    )

@@ -91,3 +91,29 @@ def test_occ4_sharded_matches(fm, dfm):
     )
     exp = fm.occ4(ks.astype(np.int64))
     assert np.array_equal(got, exp)
+
+
+def test_sa_lookup_device_exact():
+    """Device bwt_sa walk vs the host oracle, incl. row 0 and the primary
+    row (the sa[0] == -1 wrap trick)."""
+    from bwamem_tpu.ops.fmindex_tpu import DeviceFMIndex, sa_lookup
+
+    rng = np.random.default_rng(44)
+    codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    codes[1200:1500] = codes[300:600]  # repeat
+    from bwamem_tpu.index.build import build_index
+    from bwamem_tpu.utils.fasta import Fasta, FastaContig
+    from bwamem_tpu.engine.fmindex import FMIndex
+
+    idx = build_index(Fasta([FastaContig("c", "", codes)]))
+    fm = FMIndex(idx)
+    dfm = DeviceFMIndex.from_host(fm)
+    ks = np.concatenate(
+        [
+            np.asarray([0, fm.primary, fm.seq_len - 1, 1]),
+            rng.integers(0, fm.seq_len, 512),
+        ]
+    ).astype(np.int64)
+    got = np.asarray(sa_lookup(dfm, ks.astype(np.int32)))
+    exp = fm.sa_lookup(ks)
+    assert np.array_equal(got, exp)
