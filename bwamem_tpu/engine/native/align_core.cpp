@@ -16,12 +16,10 @@
 #include <vector>
 
 // from ksw.cpp
-extern "C" void bwamem_ksw_extend_batch(
-    int64_t n_jobs, const uint8_t* qbuf, const int64_t* qoff,
-    const int32_t* qlen, const uint8_t* tbuf, const int64_t* toff,
-    const int32_t* tlen, const int8_t* mat, int o_del, int e_del, int o_ins,
-    int e_ins, int zdrop, const int32_t* h0, const int32_t* w,
-    const int32_t* end_bonus, int32_t* out);
+extern "C" void bwamem_ksw_extend_single(
+    const uint8_t* q, int32_t qlen, const uint8_t* t, int32_t tlen,
+    const int8_t* mat, int o_del, int e_del, int o_ins, int e_ins, int zdrop,
+    int32_t h0, int32_t w, int32_t end_bonus, int32_t* out6);
 
 namespace {
 
@@ -255,11 +253,9 @@ void build_chains(const Opts& o, const Bns& bns, int64_t qlen,
 
 void ksw_one(const Opts& o, const uint8_t* q, int qlen, const uint8_t* t,
              int tlen, int wband, int bonus, int h0, int32_t out6[6]) {
-  int64_t qoff = 0, toff = 0;
-  int32_t ql = qlen, tl = tlen, h = h0, wb = wband, eb = bonus;
-  bwamem_ksw_extend_batch(1, q, &qoff, &ql, t, &toff, &tl, o.mat, o.o_del,
-                          o.e_del, o.o_ins, o.e_ins, o.zdrop, &h, &wb, &eb,
-                          out6);
+  bwamem_ksw_extend_single(q, qlen, t, tlen, o.mat, o.o_del, o.e_del,
+                           o.o_ins, o.e_ins, o.zdrop, h0, wband, bonus,
+                           out6);
 }
 
 // mirror of engine/extend.py::chain2aln

@@ -40,12 +40,16 @@ void ksw_extend_one(const uint8_t* q, int qlen, const uint8_t* t, int tlen,
                     int end_bonus, int zdrop, int h0, int32_t* out6) {
   const int m = 5;
   const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
-  std::vector<int8_t> qp((size_t)m * qlen);
+  // thread-local scratch: tens of thousands of short jobs per batch make
+  // per-call heap allocation a measurable fraction of the DP itself
+  static thread_local std::vector<int8_t> qp;
+  static thread_local std::vector<EH> eh;
+  if ((int64_t)qp.size() < (int64_t)m * qlen) qp.resize((size_t)m * qlen);
   for (int k = 0; k < m; ++k) {
     const int8_t* p = &mat[k * m];
     for (int j = 0; j < qlen; ++j) qp[(size_t)k * qlen + j] = p[q[j]];
   }
-  std::vector<EH> eh(qlen + 1);
+  if ((int64_t)eh.size() < qlen + 1) eh.resize(qlen + 1);
   std::memset(eh.data(), 0, sizeof(EH) * (qlen + 1));
   // first row
   eh[0].h = h0;
@@ -369,6 +373,299 @@ void ksw_extend_one_wide(const uint8_t* q, int qlen, const uint8_t* t,
   out6[5] = max_off;
 }
 
+// -------------------------------------------------------------------------
+// ksw_extend2 across jobs: 16 lanes of int16, one lane per job (AVX2).
+//
+// The scalar row recurrence has two serial chains along j — the shifted h
+// (h1) and the horizontal-gap tracker f — but BOTH are independent across
+// jobs, so running 16 jobs in lockstep turns every chain into a plain
+// vector register carried through the j loop: no prefix-max scan, no
+// striping, the inner body IS the scalar code on vectors.  All the scalar
+// path's semantics are preserved per lane:
+//   * adaptive band [beg, end) with stale cells outside it (masked
+//     blend-stores), per-row clip to [i-w, i+w+1) and qlen;
+//   * the post-row shrink scan (first/last nonzero of the UPDATED h/e row,
+//     including the boundary cell at `end`) — tracked as min/max-j vector
+//     accumulators during the pass instead of a re-scan;
+//   * row-max tie preference for later j, gscore `<=` tie, M==0 reset,
+//     Z-drop with del/ins-slope cases, mrow==0 early out.
+// Lanes retire independently (tlen end / mrow==0 / zdrop); the row loop
+// runs until every lane is done.  int16 is safe for the dispatch domain
+// (qlen*max_sc + h0 + end_bonus < 32000 checked per group; short-read
+// extension scores are a few hundred).
+#if defined(__AVX2__)
+namespace soa {
+
+constexpr int LANES = 16;
+
+struct LaneJob {
+  const uint8_t* q;
+  const uint8_t* t;
+  int qlen, tlen, w, h0, end_bonus;
+  int32_t* out6;
+};
+
+inline __m256i vmax16(__m256i a, __m256i b) { return _mm256_max_epi16(a, b); }
+
+// scores for 16 lanes at row-symbol trow5 (=t*5) and query bytes qb
+inline __m256i score16(__m128i trow5, __m128i qb, __m128i tab0,
+                       __m128i tab1) {
+  __m128i idx = _mm_add_epi8(trow5, qb);
+  __m128i lo = _mm_shuffle_epi8(tab0, idx);
+  __m128i hi = _mm_shuffle_epi8(tab1, _mm_sub_epi8(idx, _mm_set1_epi8(16)));
+  __m128i pick_hi = _mm_cmpgt_epi8(idx, _mm_set1_epi8(15));
+  return _mm256_cvtepi8_epi16(_mm_blendv_epi8(lo, hi, pick_hi));
+}
+
+void extend_wave16(const LaneJob* jobs, int n, const int8_t* mat, int o_del,
+                   int e_del, int o_ins, int e_ins, int zdrop) {
+  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  int max_q = 0, max_t = 0;
+  for (int l = 0; l < n; ++l) {
+    max_q = std::max(max_q, jobs[l].qlen);
+    max_t = std::max(max_t, jobs[l].tlen);
+  }
+  // SoA state: H/E rows [max_q+2][16] int16; transposed query [max_q][16]
+  static thread_local std::vector<int16_t> Hb, Eb;
+  static thread_local std::vector<uint8_t> qTb, tTb;
+  Hb.assign((size_t)(max_q + 2) * LANES, 0);
+  Eb.assign((size_t)(max_q + 2) * LANES, 0);
+  qTb.assign((size_t)std::max(max_q, 1) * LANES, 4);
+  tTb.assign((size_t)std::max(max_t, 1) * LANES, 4);
+  int16_t* H = Hb.data();
+  int16_t* E = Eb.data();
+  uint8_t* qT = qTb.data();
+  uint8_t* tT = tTb.data();
+  for (int l = 0; l < n; ++l) {
+    for (int j = 0; j < jobs[l].qlen; ++j) qT[(size_t)j * LANES + l] = jobs[l].q[j];
+    for (int i = 0; i < jobs[l].tlen; ++i) tT[(size_t)i * LANES + l] = jobs[l].t[i];
+  }
+  int max_sc = mat[0];
+  for (int i = 1; i < 25; ++i) max_sc = std::max(max_sc, (int)mat[i]);
+  // per-lane scalars
+  int beg[LANES], end[LANES], w_[LANES], tlen_[LANES], qlen_[LANES];
+  int maxv[LANES], max_i[LANES], max_j[LANES], max_ie[LANES],
+      gscore[LANES], max_off[LANES];
+  bool active[LANES];
+  for (int l = 0; l < LANES; ++l) active[l] = false;
+  for (int l = 0; l < n; ++l) {
+    const LaneJob& jb = jobs[l];
+    qlen_[l] = jb.qlen;
+    tlen_[l] = jb.tlen;
+    // first row
+    H[0 * LANES + l] = (int16_t)jb.h0;
+    if (jb.qlen > 0) {
+      int h1 = jb.h0 > oe_ins ? jb.h0 - oe_ins : 0;
+      H[1 * LANES + l] = (int16_t)h1;
+      int j = 2;
+      for (; j <= jb.qlen && H[(j - 1) * LANES + l] > e_ins; ++j)
+        H[(size_t)j * LANES + l] = H[(j - 1) * LANES + l] - (int16_t)e_ins;
+    }
+    int w = jb.w;
+    int max_ins =
+        (int)((double)(jb.qlen * max_sc + jb.end_bonus - o_ins) / e_ins + 1.);
+    w = std::min(w, std::max(max_ins, 1));
+    int max_del =
+        (int)((double)(jb.qlen * max_sc + jb.end_bonus - o_del) / e_del + 1.);
+    w = std::min(w, std::max(max_del, 1));
+    w_[l] = w;
+    beg[l] = 0;
+    end[l] = jb.qlen;
+    maxv[l] = jb.h0;
+    max_i[l] = max_j[l] = max_ie[l] = -1;
+    gscore[l] = -1;
+    max_off[l] = 0;
+    active[l] = jb.tlen > 0 && jb.qlen > 0;
+    if (!active[l] && jb.tlen == 0) {
+      // no rows at all: results are the initial trackers
+    }
+  }
+  __m128i tab0 = _mm_loadu_si128((const __m128i*)mat);
+  alignas(16) int8_t t1buf[16] = {};
+  std::memcpy(t1buf, mat + 16, 9);
+  __m128i tab1 = _mm_load_si128((const __m128i*)t1buf);
+  const __m256i vzero = _mm256_setzero_si256();
+  const __m256i voedel = _mm256_set1_epi16((int16_t)oe_del);
+  const __m256i vedel = _mm256_set1_epi16((int16_t)e_del);
+  const __m256i voeins = _mm256_set1_epi16((int16_t)oe_ins);
+  const __m256i veins = _mm256_set1_epi16((int16_t)e_ins);
+
+  for (int i = 0;; ++i) {
+    bool any = false;
+    for (int l = 0; l < n; ++l) any |= active[l] && i < tlen_[l];
+    if (!any) break;
+    // per-lane row prologue
+    alignas(32) int16_t begs[LANES], ends[LANES], h1b[LANES], rowact[LANES];
+    alignas(32) int8_t trow5[LANES > 16 ? LANES : 16] = {};
+    int jmin = 1 << 30, jmax = 0;
+    for (int l = 0; l < LANES; ++l) {
+      bool act = l < n && active[l] && i < tlen_[l];
+      rowact[l] = act ? -1 : 0;
+      if (!act) {
+        begs[l] = 0;
+        ends[l] = 0;
+        h1b[l] = 0;
+        continue;
+      }
+      if (beg[l] < i - w_[l]) beg[l] = i - w_[l];
+      if (end[l] > i + w_[l] + 1) end[l] = i + w_[l] + 1;
+      if (end[l] > qlen_[l]) end[l] = qlen_[l];
+      int h1;
+      if (beg[l] == 0) {
+        h1 = jobs[l].h0 - (o_del + e_del * (i + 1));
+        if (h1 < 0) h1 = 0;
+      } else {
+        h1 = 0;
+      }
+      begs[l] = (int16_t)beg[l];
+      ends[l] = (int16_t)end[l];
+      h1b[l] = (int16_t)h1;
+      trow5[l] = (int8_t)(tT[(size_t)i * LANES + l] * 5);
+      jmin = std::min(jmin, beg[l]);
+      jmax = std::max(jmax, end[l]);
+    }
+    if (jmin >= jmax) {
+      // every active lane has an empty row: commit boundaries + row epilogue
+      for (int l = 0; l < n; ++l) {
+        if (!rowact[l]) continue;
+        // empty row: H[end] = h1b, E[end] = 0, mrow = 0 -> lane retires
+        H[(size_t)end[l] * LANES + l] = h1b[l];
+        E[(size_t)end[l] * LANES + l] = 0;
+        if (end[l] == qlen_[l] && gscore[l] <= h1b[l]) {
+          max_ie[l] = i;
+          gscore[l] = h1b[l];
+        }
+        active[l] = false;  // mrow == 0
+      }
+      continue;
+    }
+    __m256i vbeg = _mm256_load_si256((const __m256i*)begs);
+    __m256i vend = _mm256_load_si256((const __m256i*)ends);
+    __m256i vract = _mm256_load_si256((const __m256i*)rowact);
+    __m256i vh1 = _mm256_load_si256((const __m256i*)h1b);
+    __m256i vf = vzero;
+    __m256i vmrow = vzero;
+    __m256i vmj = _mm256_set1_epi16(-1);
+    __m256i vminnz = _mm256_set1_epi16(0x7FFF);
+    __m256i vmaxnz = _mm256_set1_epi16(-1);
+    __m128i vt5 = _mm_load_si128((const __m128i*)trow5);
+    for (int j = jmin; j < jmax; ++j) {
+      __m256i vj = _mm256_set1_epi16((int16_t)j);
+      __m256i inr = _mm256_and_si256(
+          _mm256_andnot_si256(_mm256_cmpgt_epi16(vbeg, vj),
+                              _mm256_cmpgt_epi16(vend, vj)),
+          vract);
+      __m256i oldH = _mm256_loadu_si256((const __m256i*)&H[(size_t)j * LANES]);
+      __m256i oldE = _mm256_loadu_si256((const __m256i*)&E[(size_t)j * LANES]);
+      __m128i qb = _mm_loadu_si128((const __m128i*)&qT[(size_t)j * LANES]);
+      __m256i sc = score16(vt5, qb, tab0, tab1);
+      __m256i zmask = _mm256_cmpeq_epi16(oldH, vzero);
+      __m256i vM = _mm256_andnot_si256(zmask, _mm256_add_epi16(oldH, sc));
+      __m256i vh = vmax16(vM, oldE);
+      vh = vmax16(vh, vf);
+      // row max, later-j ties ([EXT] order: mj = mrow > h ? mj : j)
+      __m256i keep = _mm256_cmpgt_epi16(vmrow, vh);
+      __m256i upd = _mm256_andnot_si256(keep, inr);
+      vmj = _mm256_blendv_epi8(vmj, vj, upd);
+      vmrow = _mm256_blendv_epi8(vmrow, vmax16(vmrow, vh), inr);
+      // E' and f'
+      __m256i tt = vmax16(_mm256_sub_epi16(vM, voedel), vzero);
+      __m256i vE2 = vmax16(_mm256_sub_epi16(oldE, vedel), tt);
+      __m256i tti = vmax16(_mm256_sub_epi16(vM, voeins), vzero);
+      __m256i vf2 = vmax16(_mm256_sub_epi16(vf, veins), tti);
+      vf = _mm256_blendv_epi8(vf, vf2, inr);
+      // stores: H[j] <- h1 (shifted), E[j] <- E'
+      __m256i newH = _mm256_blendv_epi8(oldH, vh1, inr);
+      __m256i newE = _mm256_blendv_epi8(oldE, vE2, inr);
+      _mm256_storeu_si256((__m256i*)&H[(size_t)j * LANES], newH);
+      _mm256_storeu_si256((__m256i*)&E[(size_t)j * LANES], newE);
+      vh1 = _mm256_blendv_epi8(vh1, vh, inr);
+      // shrink-scan accumulators over the UPDATED row
+      __m256i nz = _mm256_and_si256(
+          inr, _mm256_xor_si256(
+                   _mm256_and_si256(_mm256_cmpeq_epi16(newH, vzero),
+                                    _mm256_cmpeq_epi16(newE, vzero)),
+                   _mm256_set1_epi16(-1)));
+      vminnz = _mm256_blendv_epi8(vminnz, _mm256_min_epi16(vminnz, vj), nz);
+      vmaxnz = _mm256_blendv_epi8(vmaxnz, vmax16(vmaxnz, vj), nz);
+    }
+    // row epilogue, per lane
+    alignas(32) int16_t h1s[LANES], mrows[LANES], mjs[LANES], minnzs[LANES],
+        maxnzs[LANES];
+    _mm256_store_si256((__m256i*)h1s, vh1);
+    _mm256_store_si256((__m256i*)mrows, vmrow);
+    _mm256_store_si256((__m256i*)mjs, vmj);
+    _mm256_store_si256((__m256i*)minnzs, vminnz);
+    _mm256_store_si256((__m256i*)maxnzs, vmaxnz);
+    for (int l = 0; l < n; ++l) {
+      if (!rowact[l]) continue;
+      int h1 = h1s[l], mrow = mrows[l], mj = mjs[l];
+      H[(size_t)end[l] * LANES + l] = (int16_t)h1;
+      E[(size_t)end[l] * LANES + l] = 0;
+      if (end[l] == qlen_[l]) {
+        if (gscore[l] <= h1) {
+          max_ie[l] = i;
+          gscore[l] = h1;
+        }
+      }
+      if (mrow == 0) {
+        active[l] = false;
+        continue;
+      }
+      if (mrow > maxv[l]) {
+        maxv[l] = mrow;
+        max_i[l] = i;
+        max_j[l] = mj;
+        if (max_off[l] < std::abs(mj - i)) max_off[l] = std::abs(mj - i);
+      } else if (zdrop > 0) {
+        if (i - max_i[l] > mj - max_j[l]) {
+          if (maxv[l] - mrow - ((i - max_i[l]) - (mj - max_j[l])) * e_del >
+              zdrop) {
+            active[l] = false;
+            continue;
+          }
+        } else {
+          if (maxv[l] - mrow - ((mj - max_j[l]) - (i - max_i[l])) * e_ins >
+              zdrop) {
+            active[l] = false;
+            continue;
+          }
+        }
+      }
+      // shrink the window (scalar scan's result from the accumulators;
+      // the scan also inspects the boundary cell at `end`)
+      int mn = minnzs[l], mx = maxnzs[l];
+      if (h1 != 0) mx = std::max(mx, end[l]);  // E[end] == 0 by definition
+      int nbeg = (mn <= end[l] - 1 && mn >= beg[l]) ? mn : end[l];
+      int nend;
+      if (mx >= beg[l])
+        nend = mx + 2 < qlen_[l] ? mx + 2 : qlen_[l];
+      else
+        nend = beg[l] + 1 < qlen_[l] ? beg[l] + 1 : qlen_[l];
+      beg[l] = nbeg;
+      end[l] = nend;
+      if (i + 1 >= tlen_[l]) active[l] = false;
+    }
+  }
+  for (int l = 0; l < n; ++l) {
+    int32_t* o6 = jobs[l].out6;
+    o6[0] = maxv[l];
+    o6[1] = max_j[l] + 1;
+    o6[2] = max_i[l] + 1;
+    o6[3] = max_ie[l] + 1;
+    o6[4] = gscore[l];
+    o6[5] = max_off[l];
+  }
+}
+
+// int16 domain check for a job
+inline bool fits16(int qlen, int h0, int end_bonus, int max_sc) {
+  return (int64_t)qlen * max_sc + h0 + end_bonus < 30000 && qlen < 2048;
+}
+
+}  // namespace soa
+#endif  // __AVX2__
+
 // Banded global (NW) alignment with traceback — exact twin of
 // engine/extend.py::ksw_global2 (the validated oracle for [EXT] ksw.c's
 // ksw_global2 incl. tie-breaks).  Scores in int64 like the oracle; the
@@ -606,6 +903,50 @@ void bwamem_ksw_extend_batch(
     const int32_t* tlen, const int8_t* mat, int o_del, int e_del, int o_ins,
     int e_ins, int zdrop, const int32_t* h0, const int32_t* w,
     const int32_t* end_bonus, int32_t* out) {
+#if defined(__AVX2__)
+  // route short jobs through the 16-lane SoA kernel in tlen-sorted groups
+  // (similar row counts per group keep lane utilization high); long /
+  // out-of-int16-domain jobs take the scalar or wide row kernels
+  int max_sc = mat[0];
+  for (int i = 1; i < 25; ++i) max_sc = std::max(max_sc, (int)mat[i]);
+  if (n_jobs >= 16) {
+    std::vector<int64_t> grp, rest;
+    grp.reserve(n_jobs);
+    for (int64_t i = 0; i < n_jobs; ++i) {
+      if (soa::fits16(qlen[i], h0[i], end_bonus[i], max_sc) && qlen[i] > 0 &&
+          tlen[i] > 0)
+        grp.push_back(i);
+      else
+        rest.push_back(i);
+    }
+    std::sort(grp.begin(), grp.end(), [&](int64_t a, int64_t b) {
+      return tlen[a] != tlen[b] ? tlen[a] < tlen[b] : qlen[a] < qlen[b];
+    });
+    int64_t n_groups = ((int64_t)grp.size() + soa::LANES - 1) / soa::LANES;
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t g = 0; g < n_groups; ++g) {
+      soa::LaneJob jobs[soa::LANES];
+      int64_t lo = g * soa::LANES;
+      int nl = (int)std::min((int64_t)soa::LANES, (int64_t)grp.size() - lo);
+      for (int l = 0; l < nl; ++l) {
+        int64_t i = grp[lo + l];
+        jobs[l] = soa::LaneJob{qbuf + qoff[i], tbuf + toff[i], qlen[i],
+                               tlen[i], w[i], h0[i], end_bonus[i],
+                               out + i * 6};
+      }
+      soa::extend_wave16(jobs, nl, mat, o_del, e_del, o_ins, e_ins, zdrop);
+    }
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t k = 0; k < (int64_t)rest.size(); ++k) {
+      int64_t i = rest[k];
+      (qlen[i] >= 2048 ? ksw_extend_one_wide : ksw_extend_one)(
+          qbuf + qoff[i], qlen[i], tbuf + toff[i], tlen[i], mat, o_del,
+          e_del, o_ins, e_ins, w[i], end_bonus[i], zdrop, h0[i],
+          out + i * 6);
+    }
+    return;
+  }
+#endif  // __AVX2__
 #pragma omp parallel for schedule(dynamic, 16)
   for (int64_t i = 0; i < n_jobs; ++i) {
     (qlen[i] >= 2048 ? ksw_extend_one_wide : ksw_extend_one)(
@@ -613,6 +954,19 @@ void bwamem_ksw_extend_batch(
                    o_del, e_del, o_ins, e_ins, w[i], end_bonus[i], zdrop,
                    h0[i], out + i * 6);
   }
+}
+
+// Single-job entry with NO OpenMP region: chain2aln's per-seed retry loop
+// issues tens of thousands of tiny extensions per batch from inside an
+// already-parallel region — a parallel-for entry per call costs more than
+// the DP itself at short read lengths.
+void bwamem_ksw_extend_single(
+    const uint8_t* q, int32_t qlen, const uint8_t* t, int32_t tlen,
+    const int8_t* mat, int o_del, int e_del, int o_ins, int e_ins, int zdrop,
+    int32_t h0, int32_t w, int32_t end_bonus, int32_t* out6) {
+  (qlen >= 2048 ? ksw_extend_one_wide : ksw_extend_one)(
+      q, qlen, t, tlen, mat, o_del, e_del, o_ins, e_ins, w, end_bonus,
+      zdrop, h0, out6);
 }
 
 int32_t bwamem_ksw_global(int32_t qlen, const uint8_t* query, int32_t tlen,

@@ -457,6 +457,7 @@ static void append_i64(std::string& s, int64_t v) {
 // NATIVE_PROF sub-phase accumulators (ns); zeroed per batch, printed with
 // the phase laps when BWAMEM_TPU_NATIVE_PROF=1
 static std::atomic<long long> g_ns_matesw{0}, g_ns_xa{0}, g_ns_rec{0};
+static std::atomic<long long> g_ns_chain{0}, g_ns_ext{0}, g_ns_dedup{0};
 static bool g_prof_enabled = false;
 
 struct SubTimer {
@@ -1277,6 +1278,9 @@ void bwamem_pipeline_batch(
   g_ns_matesw = 0;
   g_ns_xa = 0;
   g_ns_rec = 0;
+  g_ns_chain = 0;
+  g_ns_ext = 0;
+  g_ns_dedup = 0;
   auto t0 = std::chrono::steady_clock::now();
   auto lap = [&](const char* name) {
     if (!prof) return;
@@ -1293,17 +1297,24 @@ void bwamem_pipeline_batch(
 #pragma omp for schedule(dynamic, 8)
     for (int64_t i = 0; i < n_reads; ++i) {
       std::vector<Chain> chains;
-      build_chains(core_o, bns, rlen[i], intv + intv_off[i] * 5, n_intv[i],
-                   rbegs, rbeg_off + intv_off[i], n_rbeg + intv_off[i],
-                   chains);
-      std::vector<uint8_t> refbuf;
-      flt_chained_seeds(o, bns, rlen[i], rbuf + roff[i], chains, refbuf);
+      {
+        SubTimer st(g_ns_chain);
+        build_chains(core_o, bns, rlen[i], intv + intv_off[i] * 5, n_intv[i],
+                     rbegs, rbeg_off + intv_off[i], n_rbeg + intv_off[i],
+                     chains);
+        std::vector<uint8_t> refbuf;
+        flt_chained_seeds(o, bns, rlen[i], rbuf + roff[i], chains, refbuf);
+      }
       std::vector<Reg> raw;
-      std::vector<uint8_t> rseq_buf, rev_buf;
-      std::vector<int8_t> alive;
-      for (const Chain& c : chains)
-        chain2aln(core_o, bns, rlen[i], rbuf + roff[i], c, raw, rseq_buf,
-                  rev_buf, alive);
+      {
+        SubTimer st(g_ns_ext);
+        std::vector<uint8_t> rseq_buf, rev_buf;
+        std::vector<int8_t> alive;
+        for (const Chain& c : chains)
+          chain2aln(core_o, bns, rlen[i], rbuf + roff[i], c, raw, rseq_buf,
+                    rev_buf, alive);
+      }
+      SubTimer st(g_ns_dedup);
       std::vector<RegT>& out = regs[i];
       out.reserve(raw.size());
       for (const Reg& r : raw) {
@@ -1382,9 +1393,11 @@ void bwamem_pipeline_batch(
   lap("pair+finalize");
   if (prof)
     fprintf(stderr,
-            "[native_prof]   matesw %.1fms  xa %.1fms  reg2sam %.1fms\n",
+            "[native_prof]   matesw %.1fms  xa %.1fms  reg2sam %.1fms  "
+            "chain %.1fms  extend %.1fms  dedup %.1fms\n",
             g_ns_matesw.load() / 1e6, g_ns_xa.load() / 1e6,
-            g_ns_rec.load() / 1e6);
+            g_ns_rec.load() / 1e6, g_ns_chain.load() / 1e6,
+            g_ns_ext.load() / 1e6, g_ns_dedup.load() / 1e6);
   // serialize into flat arenas
   int64_t n_rec = 0, cig_len = 0, str_len = 0;
   for (const auto& rl : recs)
