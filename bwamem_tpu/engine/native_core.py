@@ -10,7 +10,7 @@ from typing import List
 
 import numpy as np
 
-from ..utils.nativebuild import compile_shared
+from ..utils.nativebuild import compile_shared, stale
 
 from .extend import AlnReg
 from .native_chain import get_bns_arrays
@@ -47,11 +47,7 @@ def _ensure_built() -> bool:
         if _build_failed:
             return False
         try:
-            newest = max(os.path.getmtime(s) for s in _SRCS)
-            if _NATIVE_DIR is None and (
-                (not os.path.exists(_LIB))
-                or os.path.getmtime(_LIB) < newest
-            ):
+            if _NATIVE_DIR is None and stale(_LIB, list(_SRCS)):
                 compile_shared(list(_SRCS), _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_align_regs_batch.restype = None

@@ -20,7 +20,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..utils.nativebuild import compile_shared
+from ..utils.nativebuild import compile_shared, stale
 
 from .finalize import Aln
 
@@ -75,11 +75,7 @@ def _ensure_built() -> bool:
         if _build_failed:
             return False
         try:
-            newest_src = max(os.path.getmtime(p) for p in [_SRC] + _DEPS)
-            if _NATIVE_DIR is None and (
-                (not os.path.exists(_LIB))
-                or os.path.getmtime(_LIB) < newest_src
-            ):
+            if _NATIVE_DIR is None and stale(_LIB, [_SRC] + _DEPS):
                 compile_shared([_SRC], _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_buf_free.restype = None

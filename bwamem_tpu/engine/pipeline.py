@@ -236,8 +236,12 @@ def native_pipeline_ok(eng, reads) -> bool:
         return False
     if os.environ.get("BWAMEM_TPU_FORCE_WAVES") == "1":
         return False  # mesh / device-wave routing stays on the wave path
-    if os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1":
-        return False  # device SMEM seeding routes through align_regs_batch
+    if (
+        os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1"
+        or os.environ.get("BWAMEM_TPU_DEVICE_CHAIN") == "1"
+        or os.environ.get("BWAMEM_TPU_DEVICE_SA_LOOKUP") == "1"
+    ):
+        return False  # device stage kernels route through align_regs_batch
     # all read lengths supported: the native tail carries the long-read
     # stages too (mem_flt_chained_seeds / mem_seed_sw in pipeline.cpp)
     return eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX

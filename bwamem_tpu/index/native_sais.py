@@ -13,7 +13,7 @@ import threading
 
 import numpy as np
 
-from ..utils.nativebuild import compile_shared
+from ..utils.nativebuild import compile_shared, stale
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "sais.cpp")
@@ -39,10 +39,7 @@ def _ensure_built() -> bool:
         if _build_failed:
             return False
         try:
-            if _NATIVE_DIR is None and (
-                (not os.path.exists(_LIB))
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-            ):
+            if _NATIVE_DIR is None and stale(_LIB, [_SRC]):
                 compile_shared([_SRC], _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_sais.restype = ctypes.c_int

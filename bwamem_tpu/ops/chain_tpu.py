@@ -271,6 +271,20 @@ def chains_device_batch(
     n = len(reads)
     if n == 0:
         return []
+    if 2 * int(bns.l_pac) >= (1 << 31):
+        # the kernel stages rbeg over the doubled domain in int32; beyond
+        # ~1 Gbp forward length that wraps, so gigabase references take the
+        # host oracle (mirrors the seq_len < 2^31 guard on the device
+        # SA-lookup path in engine/pipeline.py)
+        return [
+            chain_flt(
+                opt,
+                mem_chain(opt, fm, bns, len(q), intervals, rbegs_per),
+            )
+            for q, intervals, rbegs_per in zip(
+                reads, intervals_list, rbegs_per_intv_list
+            )
+        ]
 
     # flatten every read's (interval x sample) seeds in enumeration order
     seeds_np: List[np.ndarray] = []

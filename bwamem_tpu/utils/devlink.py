@@ -22,7 +22,10 @@ import time
 _verdict: bool | None = None
 
 
-def _probe() -> bool:
+_NO_BACKEND = "no-backend"
+
+
+def _probe() -> bool | str:
     try:
         import sys
 
@@ -30,14 +33,15 @@ def _probe() -> bool:
         # exclusive-grant rigs (one chip per process) jax.devices() in a
         # host-path process would acquire — or block on — the chip.  Probe
         # only when this process already runs a JAX backend (mesh /
-        # device-seed / explicitly device-routed callers).
+        # device-seed / explicitly device-routed callers).  This outcome is
+        # NOT cached as a verdict: a backend may come up later.
         jax_mod = sys.modules.get("jax")
         if jax_mod is None:
-            return False
+            return _NO_BACKEND
         from jax._src import xla_bridge as _xb
 
         if not getattr(_xb, "_backends", None):
-            return False
+            return _NO_BACKEND
         import jax
         import numpy as np
 
@@ -62,8 +66,16 @@ def _probe() -> bool:
 
 
 def device_extend_auto() -> bool:
-    """Probe-once verdict for routing large waves to the device kernel."""
+    """Probe-once verdict for routing large waves to the device kernel.
+
+    The 'JAX backend not initialized yet' outcome is transient and never
+    cached — the probe re-runs once a backend exists, so an early host-path
+    wave can't permanently disable device routing.
+    """
     global _verdict
     if _verdict is None:
-        _verdict = _probe()
+        r = _probe()
+        if r == _NO_BACKEND:
+            return False
+        _verdict = bool(r)
     return _verdict

@@ -7,9 +7,24 @@ from bwamem_tpu.utils import devlink
 
 def test_auto_is_off_without_accelerator():
     # conftest forces the CPU platform: no accelerator -> host routing
+    import jax
+
+    jax.devices()  # bring a backend up so the probe yields a real verdict
     devlink._verdict = None
     assert devlink.device_extend_auto() is False
     assert devlink._verdict is False  # cached
+
+
+def test_no_backend_outcome_is_not_cached(monkeypatch):
+    """ADVICE r2: a probe before any JAX backend exists must not poison
+    the verdict cache for the rest of the process."""
+    devlink._verdict = None
+    monkeypatch.setattr(devlink, "_probe", lambda: devlink._NO_BACKEND)
+    assert devlink.device_extend_auto() is False
+    assert devlink._verdict is None  # transient, not cached
+    monkeypatch.setattr(devlink, "_probe", lambda: True)
+    assert devlink.device_extend_auto() is True  # re-probed later
+    devlink._verdict = None
 
 
 def test_explicit_env_overrides_auto(monkeypatch):
