@@ -94,7 +94,10 @@ def write_bwa_image(path: str, idx: BwaIndex) -> None:
         out += buf
     for a in bns.anns:
         out += a.name.encode() + b"\x00"
-        out += (a.anno or "").encode() + b"\x00"
+        # a reference-produced blob (bwa_idx_load -> bwa_idx2mem) carries
+        # the literal "(null)" token for empty annos, because bns_restore
+        # keeps the .ann placeholder verbatim; mirror that byte-exactly
+        out += (a.anno or "(null)").encode() + b"\x00"
     # ---- pac: l_pac/4 + 1 bytes ----
     n_pac = bns.l_pac // 4 + 1
     pac = np.zeros(n_pac, dtype=np.uint8)

@@ -60,7 +60,8 @@ def test_blob_layout_constants(rota_idx, tmp_path):
     assert int.from_bytes(raw[1104:1112], "little") == bwt.n_sa
     # total size: bwt_t + words + sa + bntseq_t + ambs + anns + strings + pac
     strings = sum(
-        len(a.name) + 1 + len(a.anno or "") + 1 for a in rota_idx.bns.anns
+        len(a.name) + 1 + len(a.anno or "(null)") + 1
+            for a in rota_idx.bns.anns
     )
     expect = (
         bwa_img.BWT_T_SIZE + len(bwt.bwt) * 4 + bwt.n_sa * 8
@@ -123,5 +124,55 @@ def test_create_bwa_image_file_from_index_files(tmp_path):
     idx = BwaMemIndex(out)
     try:
         assert idx.contig_names == ["rotavirus"]
+    finally:
+        idx.close()
+
+
+# ---------------------------------------------------------------------------
+# Byte-golden fixture (VERDICT r2 #7): tests/fixtures/rotavirus.bwa.img was
+# hand-assembled ONCE from the documented bwa_mem2idx layout, parsing the
+# reference's genuinely bwa-produced index files (ref.fa.{bwt,sa,pac,ann,
+# amb}) with raw struct reads and none of bwa_img.py's code.  Any mutation
+# of a struct offset/size in index/bwa_img.py breaks byte-identity here.
+# ---------------------------------------------------------------------------
+import os
+
+GOLDEN_BLOB = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "rotavirus.bwa.img"
+)
+
+
+def test_writer_reproduces_golden_blob(rota_idx, tmp_path):
+    p = str(tmp_path / "g.img")
+    bwa_img.write_bwa_image(p, rota_idx)
+    with open(p, "rb") as fh:
+        ours = fh.read()
+    with open(GOLDEN_BLOB, "rb") as fh:
+        gold = fh.read()
+    assert len(ours) == len(gold)
+    assert ours == gold  # byte-identical to the hand-assembled layout
+
+
+def test_reader_parses_golden_blob(rota_idx):
+    back = bwa_img.read_bwa_image(GOLDEN_BLOB)
+    assert back.bwt.primary == rota_idx.bwt.primary
+    assert back.bwt.seq_len == 2148 and back.bns.l_pac == 1074
+    assert back.bwt.sa_intv == 32 and back.bwt.n_sa == 68
+    assert np.array_equal(back.bwt.bwt, rota_idx.bwt.bwt)
+    assert np.array_equal(back.bwt.sa, rota_idx.bwt.sa)
+    assert np.array_equal(back.pac, rota_idx.pac)
+    assert [a.name for a in back.bns.anns] == ["rotavirus"]
+    assert back.bns.anns[0].anno == ""  # "(null)" token maps to empty
+
+
+def test_golden_blob_opens_and_aligns():
+    idx = BwaMemIndex(GOLDEN_BLOB)  # auto-detected as a bwa blob
+    try:
+        aligner = BwaMemAligner(idx)
+        recs = aligner.align_seqs([READ_L1])
+        a = recs[0][0]
+        assert (a.sam_flag, a.ref_start, a.cigar, a.n_mismatches) == (
+            0, 0, "70M", 0
+        )
     finally:
         idx.close()
