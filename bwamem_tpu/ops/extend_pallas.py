@@ -2,13 +2,31 @@
 
 Same exact semantics as ops/extend_tpu.ksw_extend_batch (itself bit-exact
 with [EXT] ksw_extend2 via the host oracle), but the whole DP runs inside
-one Pallas kernel with the row state ([B_tile, Q] H/E arrays, window
-bounds, trackers) resident in VMEM for all T rows — no HBM round-trips
-between rows, which is what bounds the XLA-scan formulation.
+one Pallas kernel with the row state resident in VMEM for all T rows — no
+HBM round-trips between rows, which is what bounds the XLA-scan
+formulation.
 
 Layout: batch on sublanes, query columns on lanes (128-aligned).  The
 horizontal-gap prefix-max runs as log2(Q) roll+max steps on the VPU.  Grid
 partitions the batch into VMEM-sized tiles.
+
+v2 design notes (relay-free device timing drove these — see
+benchmarks/device_time.py):
+
+  * eh[] is stored SHIFTED: ``eh_hs[col] = eh[col+1].h`` plus a [Bt,1]
+    ``eh0`` column for eh[0].h, and ``eh_e[col] = eh[col].e``.  bwa's write
+    pattern (eh[j].h = H(i, j-1) for j in (beg, end], eh[beg].h = h1,
+    eh[j].e over [beg, end), eh[end].e = 0) then lands exactly on the
+    ``in_win`` mask with NO pad/roll of the row values and NO (Q+128)-wide
+    arrays — on the VPU an op on [Bt, Q+128] costs double one on [Bt, Q].
+  * row max + argmax fuse into ONE lane reduction via score*Qpow+col
+    packing (bwa's last-attaining-column tie-break is exactly the packed
+    max); the window-shrink scan needs two reductions (first/last alive)
+    derived from Hrow/E_next directly instead of three passes over the
+    written-back arrays.
+  * the row loop is a ``while_loop`` that exits as soon as every lane is
+    done (zdrop / zero-row / tlen reached) — lockstep waves with mixed
+    tlen stop at the last live lane, not at the bucket bound.
 """
 from __future__ import annotations
 
@@ -42,8 +60,8 @@ def _extend_kernel(
     scal_ref,  # [Bt, 128] int32: cols 0..4 = qlen, tlen, h0, w_adj, bonus
     mat_ref,  # [8, 128] int32 (5x5 matrix in cols 0..4 of rows 0..4)
     out_ref,  # [Bt, 128] int32: cols 0..5 = score qle tle gtle gscore max_off
-    eh_h,  # scratch [Bt, Qp] (bwa eh[].h indexing: col j = H(i, j-1))
-    eh_e,  # scratch [Bt, Qp]
+    eh_hs,  # scratch [Bt, Q]: eh_hs[col] = eh[col+1].h  (shifted storage)
+    eh_e,  # scratch [Bt, Q]: eh_e[col] = eh[col].e
     *,
     Q: int,
     T: int,
@@ -52,6 +70,7 @@ def _extend_kernel(
     o_ins: int,
     e_ins: int,
     zdrop: int,
+    qpow: int,
 ):
     Bt = qseq_ref.shape[0]
     oe_del = o_del + e_del
@@ -61,8 +80,9 @@ def _extend_kernel(
     h0 = scal_ref[:, 2:3]
     w_adj = scal_ref[:, 3:4]
     col = jax.lax.broadcasted_iota(jnp.int32, (Bt, Q), dimension=1)
-    colp = jax.lax.broadcasted_iota(jnp.int32, eh_h.shape, dimension=1)
     colT = jax.lax.broadcasted_iota(jnp.int32, (Bt, T), dimension=1)
+    col_eins = col * e_ins
+    colm1_eins = col_eins - e_ins
     # query profile per target symbol: qp_c[b, j] = mat[c, qseq[b, j]]
     qs = qseq_ref[:, :]
     qprof = []
@@ -71,15 +91,21 @@ def _extend_kernel(
         for d in range(4):
             p = jnp.where(qs == d, mat_ref[c, d], p)
         qprof.append(p)
-    # eh[] init
-    init_h = jnp.maximum(h0 - oe_ins - (colp - 1) * e_ins, 0)
-    init_h = jnp.where(colp == 0, h0, init_h)
-    init_h = jnp.where(colp <= qlen, init_h, 0)
-    eh_h[:, :] = init_h
-    eh_e[:, :] = jnp.zeros(eh_h.shape, jnp.int32)
+    # eh[] init in shifted storage: eh[j].h = max(h0 - oe_ins - (j-1)e, 0)
+    # for 1 <= j <= qlen, eh[0].h = h0, 0 past qlen; eh[].e = 0
+    init_hs = jnp.maximum(h0 - oe_ins - col_eins, 0)
+    init_hs = jnp.where(col + 1 <= qlen, init_hs, 0)
+    eh_hs[:, :] = init_hs
+    eh_e[:, :] = jnp.zeros((Bt, Q), jnp.int32)
 
-    def row_body(i, carry):
-        (beg, end, done, maxv, max_i, max_j, max_ie, gscore, max_off) = carry
+    def cond(carry):
+        i, _eh0, _beg, _end, done, *_rest = carry
+        return (i < T) & (jnp.min(done) == 0)
+
+    def row_body(carry):
+        (i, eh0, beg, end, done, maxv, max_i, max_j, max_ie, gscore,
+         max_off) = carry
+        active = (done == 0) & (i < tlen)
         beg = jnp.maximum(beg, i - w_adj)
         end = jnp.minimum(jnp.minimum(end, i + w_adj + 1), qlen)
         in_win = (col >= beg) & (col < end)
@@ -94,39 +120,28 @@ def _extend_kernel(
         q = qprof[4]
         for c in range(4):
             q = jnp.where(tc == c, qprof[c], q)
-        Hdiag = eh_h[:, :Q]
-        M = jnp.where(Hdiag != 0, Hdiag + q, 0)
-        M = jnp.where(in_win, M, 0)
-        E = jnp.where(in_win, eh_e[:, :Q], 0)
+        # Hdiag(col) = eh[col].h = eh0 at col 0, eh_hs[col-1] past it
+        Hdiag = jnp.where(col == 0, eh0, pltpu.roll(eh_hs[:, :], shift=1, axis=1))
+        M = jnp.where(in_win & (Hdiag != 0), Hdiag + q, 0)
+        E = jnp.where(in_win, eh_e[:, :], 0)
         Mc = jnp.maximum(M - oe_ins, 0)
-        P = _lane_prefix_max(Mc + col * e_ins, Q)
+        P = _lane_prefix_max(Mc + col_eins, Q)
         Pshift = pltpu.roll(P, shift=1, axis=1)
-        F = jnp.where(col >= 1, Pshift - (col - 1) * e_ins, 0)
-        F = jnp.maximum(F, 0)
-        F = jnp.where(in_win, F, 0)
+        F = jnp.maximum(Pshift - colm1_eins, 0)
+        F = jnp.where((col >= 1) & in_win, F, 0)
         Hrow = jnp.maximum(jnp.maximum(M, E), F)
-        Hrow = jnp.where(in_win, Hrow, 0)
         E_next = jnp.maximum(E - e_del, jnp.maximum(M - oe_del, 0))
-        E_next = jnp.where(in_win, E_next, 0)
-        mrow = jnp.max(Hrow, axis=1, keepdims=True)
-        mj = jnp.max(
-            jnp.where((Hrow == mrow) & in_win, col, -1), axis=1, keepdims=True
+        # fused row max + last-attaining argmax: packed score*qpow + col
+        pk = jnp.max(
+            jnp.where(in_win, Hrow * qpow + col, 0), axis=1, keepdims=True
         )
-        # write back eh[]: col j gets H(i, j-1) for beg < j <= end, h1 at beg
-        H_shift = pltpu.roll(
-            jnp.pad(Hrow, ((0, 0), (0, eh_h.shape[1] - Q))), shift=1, axis=1
+        mrow = pk // qpow
+        mj = pk - mrow * qpow
+        # gscore needs H(i, qlen-1); only consumed when end == qlen
+        h_last = jnp.max(
+            jnp.where(col == qlen - 1, Hrow, NEG_INF), axis=1, keepdims=True
         )
-        write_h = (colp > beg) & (colp <= end)
-        newh = jnp.where(write_h, H_shift, eh_h[:, :])
-        newh = jnp.where(colp == beg, h1, newh)
-        E_pad = jnp.pad(E_next, ((0, 0), (0, eh_h.shape[1] - Q)))
-        write_e = (colp >= beg) & (colp < end)
-        newe = jnp.where(write_e, E_pad, eh_e[:, :])
-        newe = jnp.where(colp == end, 0, newe)
-        # gscore (needs H at col qlen-1 == newh at col qlen)
         reaches = end == qlen
-        h_last = jnp.max(jnp.where(colp == qlen, newh, NEG_INF), axis=1, keepdims=True)
-        active = (done == 0) & (i < tlen)
         upd_g = reaches & (gscore <= h_last) & active
         gscore = jnp.where(upd_g, h_last, gscore)
         max_ie = jnp.where(upd_g, i, max_ie)
@@ -152,31 +167,59 @@ def _extend_kernel(
             (i + 1 >= tlen) | (active & (brk_zero | brk_z)),
             jnp.int32(1), done,
         )
-        # window shrink over eh indices [beg, end]
-        keepb = active
-        dead = (newh == 0) & (newe == 0)
-        scan_mask = (colp >= beg) & (colp <= end)
-        alive = jnp.logical_not(dead) & scan_mask
-        any_alive = jnp.max(alive.astype(jnp.int32), axis=1, keepdims=True) > 0
-        first_alive = jnp.min(
-            jnp.where(alive, colp, jnp.int32(1 << 30)), axis=1, keepdims=True
+        # write back eh[] (shifted storage; bwa's exact write pattern:
+        # eh[j].h = H(i, j-1) for j in (beg, end], eh[beg].h = h1,
+        # eh[j].e = E(i+1, j) for j in [beg, end), eh[end].e = 0)
+        win_act = in_win & active
+        newh = jnp.where(win_act, Hrow, eh_hs[:, :])
+        newh = jnp.where((col == beg - 1) & active, 0, newh)
+        eh_hs[:, :] = newh
+        newe = jnp.where(win_act, E_next, eh_e[:, :])
+        newe = jnp.where((col == end) & active, 0, newe)
+        eh_e[:, :] = newe
+        eh0 = jnp.where((beg == 0) & active, h1, eh0)
+        # window shrink over eh indices [beg, end]: alive(j) from the row
+        # values themselves.  j-space part (j = col in [beg, end)):
+        # newe[j] != 0 | (j == beg ? h1 != 0 : H(i, j-1) != 0); the
+        # newh part for j = col+1 in (beg, end] is Hrow[col] != 0.
+        HrowShift = pltpu.roll(Hrow, shift=1, axis=1)
+        at_beg = col == beg  # (bool-vector selects don't lower in Mosaic)
+        alive_j = in_win & (
+            (E_next != 0)
+            | (at_beg & (h1 != 0))
+            | (jnp.logical_not(at_beg) & (HrowShift != 0))
         )
-        beg2 = jnp.where(any_alive, first_alive, end)
-        last_alive = jnp.max(jnp.where(alive, colp, -1), axis=1, keepdims=True)
-        jmax = jnp.where(any_alive, last_alive, beg2 - 1)
+        aliveH = (Hrow != 0) & in_win  # contributes at j = col + 1
+        first = jnp.min(
+            jnp.minimum(
+                jnp.where(alive_j, col, NEG_INF * -1),
+                jnp.where(aliveH, col + 1, NEG_INF * -1),
+            ),
+            axis=1, keepdims=True,
+        )
+        last = jnp.max(
+            jnp.maximum(
+                jnp.where(alive_j, col, -1),
+                jnp.where(aliveH, col + 1, -1),
+            ),
+            axis=1, keepdims=True,
+        )
+        any_alive = last >= 0
+        beg2 = jnp.where(any_alive, first, end)
+        jmax = jnp.where(any_alive, last, beg2 - 1)
         end2 = jnp.minimum(jmax + 2, qlen)
-        # freeze finished lanes
-        eh_h[:, :] = jnp.where(keepb, newh, eh_h[:, :])
-        eh_e[:, :] = jnp.where(keepb, newe, eh_e[:, :])
-        beg = jnp.where(keepb, beg2, beg)
-        end = jnp.where(keepb, end2, end)
-        return (beg, end, done, maxv, max_i, max_j, max_ie, gscore, max_off)
+        beg = jnp.where(active, beg2, beg)
+        end = jnp.where(active, end2, end)
+        return (i + 1, eh0, beg, end, done, maxv, max_i, max_j, max_ie,
+                gscore, max_off)
 
     z1 = jnp.zeros((Bt, 1), jnp.int32)
     carry = (
+        jnp.int32(0),  # i
+        h0,  # eh0 = eh[0].h
         z1,  # beg
         qlen,  # end
-        z1,  # done (int32 0/1; bool carries trip Mosaic)
+        (tlen <= 0).astype(jnp.int32),  # done (int32 0/1; bools trip Mosaic)
         h0,  # maxv
         z1 - 1,  # max_i
         z1 - 1,  # max_j
@@ -184,8 +227,8 @@ def _extend_kernel(
         z1 - 1,  # gscore
         z1,  # max_off
     )
-    (beg, end, done, maxv, max_i, max_j, max_ie, gscore, max_off) = (
-        jax.lax.fori_loop(0, T, row_body, carry)
+    (_, _, beg, end, done, maxv, max_i, max_j, max_ie, gscore, max_off) = (
+        jax.lax.while_loop(cond, row_body, carry)
     )
     outcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), dimension=1)
     res = jnp.where(outcol == 0, maxv, 0)
@@ -235,10 +278,15 @@ def ksw_extend_pallas(
     mat_block = mat_block.at[:5, :5].set(mat.astype(jnp.int32))
     Bt = min(b_tile, B)
     assert B % Bt == 0, (B, Bt)
-    Qp = Q + 128  # room for eh index Q (bwa indexing) + tile alignment
+    qpow = 1
+    while qpow < max(Q, 2):
+        qpow <<= 1
+    # packed (score*qpow + col) row reduction must stay inside int32: score
+    # is bounded by 2*Q*max_sc + max h0/bonus headroom
+    assert (2 * Q * max(max_sc, 1) + 65536) * qpow < (1 << 31), (Q, max_sc)
     kernel = partial(
         _extend_kernel, Q=Q, T=T, o_del=o_del, e_del=e_del, o_ins=o_ins,
-        e_ins=e_ins, zdrop=zdrop,
+        e_ins=e_ins, zdrop=zdrop, qpow=qpow,
     )
     out = pl.pallas_call(
         kernel,
@@ -252,8 +300,8 @@ def ksw_extend_pallas(
         ],
         out_specs=pl.BlockSpec((Bt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Bt, Qp), jnp.int32),
-            pltpu.VMEM((Bt, Qp), jnp.int32),
+            pltpu.VMEM((Bt, Q), jnp.int32),
+            pltpu.VMEM((Bt, Q), jnp.int32),
         ],
         interpret=interpret,
     )(qseq.astype(jnp.int32), tseq.astype(jnp.int32), scal, mat_block)
