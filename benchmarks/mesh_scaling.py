@@ -1,0 +1,110 @@
+"""Wave-dispatch scaling over mesh sizes 1/2/4/8 (CPU-mesh PROXY).
+
+Real multi-chip hardware is not available on this rig (one relay-attached
+TPU v5e), so this measures the DATA-PARALLEL WAVE PATH's scaling behavior
+on the virtual CPU mesh: the same jitted extension-wave computation,
+identical per-device batch share, mesh sizes 1..8.  On an N-core host with
+N real devices the per-wave work is embarrassingly parallel (XLA partitions
+the batch with zero collectives — verified in the compiled HLO by the
+absence of all-reduce/all-gather); here all virtual devices share this
+host's 2 cores, so absolute speedups are bounded by the core count and the
+numbers chiefly demonstrate that partitioning adds no overhead walls.
+
+Emits MULTICHIP_SCALING_r{N}.json with throughput + efficiency per mesh
+size, labeled as a proxy.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/mesh_scaling.py --json MULTICHIP_SCALING_r03.json
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from bwamem_tpu.api.options import MemOptions
+    from bwamem_tpu.ops.extend_tpu import ksw_extend_batch_np
+    from bwamem_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) >= 8, jax.devices()
+    opt = MemOptions()
+    params = (opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.zdrop)
+    rng = np.random.default_rng(0)
+    # fixed GLOBAL batch: homologous 128x256 extension jobs
+    B, Q, T = 1024, 128, 256
+    qs, ts = [], []
+    for _ in range(B):
+        q = rng.integers(0, 4, Q).astype(np.uint8)
+        t = np.concatenate([q, rng.integers(0, 4, T - Q).astype(np.uint8)])
+        muts = rng.random(T) < 0.01
+        t[muts] = (t[muts] + 1 + rng.integers(0, 3, muts.sum())) % 4
+        qs.append(q)
+        ts.append(t)
+    h0s = [30] * B
+    ws = [100] * B
+    bons = [5] * B
+
+    def run(mesh):
+        return ksw_extend_batch_np(
+            qs, ts, opt.mat, params, h0s, ws, bons,
+            bucket_q=Q, bucket_t=T, mesh=mesh,
+        )
+
+    results = {
+        "kind": "CPU-mesh PROXY (virtual devices share this host's cores); "
+                "measures wave partitioning behavior 1->N, not real "
+                "multi-chip compute scaling",
+        "host_cores": os.cpu_count(),
+        "global_batch": B,
+        "points": [],
+    }
+    base = None
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n, idx_shards=1) if n > 1 else make_mesh(1, 1)
+        run(mesh)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = run(mesh)
+            _ = out[0]["score"]
+            best = min(best, time.time() - t0)
+        thr = B / best
+        if base is None:
+            base = thr
+        eff = thr / (base * n)
+        results["points"].append({
+            "n_devices": n,
+            "wave_ms": round(best * 1e3, 2),
+            "jobs_per_s": round(thr, 1),
+            "speedup_vs_1": round(thr / base, 3),
+            "efficiency_pct": round(100 * eff, 1),
+        })
+        print(f"n={n}: {best*1e3:8.2f} ms/wave  {thr:9.0f} jobs/s  "
+              f"eff {100*eff:5.1f}%", flush=True)
+
+    if "--json" in sys.argv:
+        import json
+
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

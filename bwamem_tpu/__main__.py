@@ -128,8 +128,20 @@ def cmd_mem(args) -> int:
     def _take_shard(it):
         return (r for j, r in enumerate(it) if j % shard_n == shard_i)
 
+    mesh = None
+    device_stages = ()
+    if getattr(args, "devices", None):
+        # mesh execution: shard the device stage kernels over N devices
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, idx_shards=args.idx_shards or 1)
+        if getattr(args, "device_stages", None):
+            device_stages = tuple(
+                s for s in args.device_stages.split(",") if s
+            )
     index = BwaMemIndex(ref)
-    aligner = BwaMemAligner(index)
+    aligner = BwaMemAligner(index, mesh=mesh, device_stages=device_stages)
+    exec_cfg = aligner._exec_cfg
     opt = aligner.options
     if args.T is not None:
         opt.T = args.T
@@ -159,7 +171,7 @@ def cmd_mem(args) -> int:
                 reads.append(r1)
                 reads.append(r2)
             codes = [seq_to_codes(r.seq) for r in reads]
-            if native_pipeline_ok(eng, codes):
+            if native_pipeline_ok(eng, codes, exec_cfg):
                 # fused native tail (seeds -> records in one C call), ids =
                 # original stream pair ordinals so output is chunking- and
                 # shard-invariant
@@ -169,7 +181,7 @@ def cmd_mem(args) -> int:
                     id_stride=shard_n,
                 )
             else:
-                regs = align_regs_batch(opt, eng, codes)
+                regs = align_regs_batch(opt, eng, codes, exec_cfg=exec_cfg)
                 pes = aligner._resolve_pes(opt, eng, regs)
                 recs = []
                 for i in range(len(batch)):
@@ -202,14 +214,14 @@ def cmd_mem(args) -> int:
         n_done = 0
         for batch in _chunker(stream, chunk_bases, paired=False):
             codes = [seq_to_codes(r.seq) for r in batch]
-            if native_pipeline_ok(eng, codes):
+            if native_pipeline_ok(eng, codes, exec_cfg):
                 recs = aligner._align_native(
                     eng, opt, codes, is_pe=False,
                     id_base=n_done * shard_n + shard_i, id_stride=shard_n,
                 )
             else:
                 recs = []
-                regs_all = align_regs_batch(opt, eng, codes)
+                regs_all = align_regs_batch(opt, eng, codes, exec_cfg=exec_cfg)
                 for i, regs in enumerate(regs_all):
                     mark_primary_se(opt, regs, (n_done + i) * shard_n + shard_i)
                     if opt.flag & MEM_F_PRIMARY5:
@@ -253,6 +265,20 @@ def main(argv=None) -> int:
     p_mem.add_argument("-t", "--threads", type=int, default=None)
     p_mem.add_argument("--insert-mean", type=float, default=None)
     p_mem.add_argument("--insert-std", type=float, default=50.0)
+    p_mem.add_argument(
+        "--devices", type=int, default=None,
+        help="shard device-kernel batches over a mesh of N devices "
+             "(parallel.mesh.make_mesh); extension waves always shard",
+    )
+    p_mem.add_argument(
+        "--idx-shards", type=int, default=None,
+        help="mesh idx-axis size (occ-table sharding; divides --devices)",
+    )
+    p_mem.add_argument(
+        "--device-stages", default=None, metavar="S1,S2",
+        help="comma list of seed,chain,sa_lookup to also run those device "
+             "kernels mesh-sharded (requires --devices)",
+    )
     p_mem.add_argument(
         "--shard", default=None, metavar="I/N",
         help="align only reads with ordinal %% N == I (cluster partitioning; "

@@ -93,7 +93,19 @@ def _aln_to_record(p: Aln, m: Optional[Aln]) -> BwaMemAlignment:
 
 
 class BwaMemAligner:
-    def __init__(self, index: BwaMemIndex, options: Optional[MemOptions] = None):
+    def __init__(
+        self,
+        index: BwaMemIndex,
+        options: Optional[MemOptions] = None,
+        mesh=None,
+        device_stages=(),
+    ):
+        """mesh: a ``jax.sharding.Mesh`` (see ``parallel.mesh.make_mesh``) to
+        run alignment data-parallel across devices — the executable form of
+        the reference's ship-the-image cluster pattern (BwaMemIndex.java:
+        22-27).  device_stages (any of "seed", "chain", "sa_lookup")
+        additionally runs those device kernels mesh-sharded; extension
+        waves always shard when a mesh is set."""
         if not index.is_open():
             raise RuntimeError(
                 "Can't create aligner: bwa-mem index has been closed"
@@ -102,6 +114,13 @@ class BwaMemAligner:
         self.options = options.copy() if options else MemOptions()
         self._pe_stats: Optional[BwaMemPairEndStats] = None
         self._open = True
+        self._exec_cfg = None
+        if mesh is not None:
+            from ..engine.exec_ctx import mesh_exec
+
+            self._exec_cfg = mesh_exec(mesh, device_stages)
+        elif device_stages:
+            raise ValueError("device_stages requires a mesh")
 
     # ------------------------------------------------------------ lifecycle
 
@@ -209,11 +228,11 @@ class BwaMemAligner:
     def _align_se(self, eng, opt, reads):
         from ..engine.pipeline import native_pipeline_ok
 
-        if native_pipeline_ok(eng, reads):
+        if native_pipeline_ok(eng, reads, self._exec_cfg):
             recs = self._align_native(eng, opt, reads, is_pe=False)
             return [[(a, None) for a in alns] for alns in recs]
         out = []
-        regs_all = align_regs_batch(opt, eng, reads)
+        regs_all = align_regs_batch(opt, eng, reads, exec_cfg=self._exec_cfg)
         for i, (read, regs) in enumerate(zip(reads, regs_all)):
             mark_primary_se(opt, regs, i)
             if opt.flag & MEM_F_PRIMARY5:
@@ -229,7 +248,7 @@ class BwaMemAligner:
             )
         from ..engine.pipeline import native_pipeline_ok
 
-        if native_pipeline_ok(eng, reads):
+        if native_pipeline_ok(eng, reads, self._exec_cfg):
             recs = self._align_native(eng, opt, reads, is_pe=True)
             out = []
             for i in range(len(reads) // 2):
@@ -239,7 +258,7 @@ class BwaMemAligner:
                 out.append([(a, m1) for a in alns0])
                 out.append([(a, m0) for a in alns1])
             return out
-        regs = align_regs_batch(opt, eng, reads)
+        regs = align_regs_batch(opt, eng, reads, exec_cfg=self._exec_cfg)
         pes = self._resolve_pes(opt, eng, regs)
         out = []
         for i in range(len(reads) // 2):

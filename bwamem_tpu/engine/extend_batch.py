@@ -161,26 +161,21 @@ def _prune(opt: MemOptions, st: _ReadState, ci: int, task: _Task, qlen: int) -> 
     return False
 
 
-def _run_kernel(opt: MemOptions, jobs, bonuses, ws, h0s):
+def _run_kernel(opt: MemOptions, jobs, bonuses, ws, h0s, exec_cfg=None):
     """One batched ksw_extend2 wave; jobs = list of (qseq, tseq).
 
     Small waves run on the host oracle (identical semantics) — per-call
     device dispatch would dominate; large waves go to the device kernel
     with coarse shape buckets so only a handful of shapes ever compile.
     """
-    import os
-
     from ..utils import metrics as _metrics
+    from .exec_ctx import DEFAULT as _DEFAULT_CFG
 
+    if exec_cfg is None:
+        exec_cfg = _DEFAULT_CFG
     n = len(jobs)
-    env = os.environ.get("BWAMEM_TPU_DEVICE_EXTEND")
-    if env is None:
-        # unset: auto — big wave AND a fast (non-relay) device link
-        from ..utils import devlink
-
-        use_device = n >= HOST_FALLBACK_JOBS and devlink.device_extend_auto()
-    else:
-        use_device = env == "1" and n >= HOST_FALLBACK_JOBS
+    # explicit config > BWAMEM_TPU_DEVICE_EXTEND env > link auto-probe
+    use_device = exec_cfg.resolve_device_extend(n, HOST_FALLBACK_JOBS)
     _metrics.count("extend_waves")
     if use_device:
         _metrics.count("device_extend_waves")
@@ -220,11 +215,12 @@ def _run_kernel(opt: MemOptions, jobs, bonuses, ws, h0s):
         list(ws) + [opt.w] * (nb - n),
         list(bonuses) + [0] * (nb - n),
         bucket_q=qmax, bucket_t=tmax,
+        mesh=exec_cfg.mesh,
     )
     return res[:n]
 
 
-def _extend_side(opt, pend, side: str):
+def _extend_side(opt, pend, side: str, exec_cfg=None):
     """Run one direction's extensions (with band-doubling retries) for the
     pending (state, task, reg, job-data) list."""
     if not pend:
@@ -240,7 +236,7 @@ def _extend_side(opt, pend, side: str):
         jobs = [(pend[i][3], pend[i][4]) for i in todo]
         h0s = [pend[i][5] for i in todo]
         ws = [opt.w << attempt] * len(todo)
-        res = _run_kernel(opt, jobs, [bonus] * len(todo), ws, h0s)
+        res = _run_kernel(opt, jobs, [bonus] * len(todo), ws, h0s, exec_cfg)
         nxt = []
         for i, r in zip(todo, res):
             aw[i] = opt.w << attempt
@@ -287,7 +283,11 @@ def _extend_side(opt, pend, side: str):
 
 
 def chain2aln_batch(
-    opt: MemOptions, idx, reads: List[np.ndarray], chains_list: List[List[Chain]]
+    opt: MemOptions,
+    idx,
+    reads: List[np.ndarray],
+    chains_list: List[List[Chain]],
+    exec_cfg=None,
 ) -> List[List[AlnReg]]:
     """Extend every read's chains; regions per read, identical to the
     sequential chain2aln loop."""
@@ -334,7 +334,7 @@ def chain2aln_batch(
             current.append((st, task, a))
         if not any_active:
             break
-        _extend_side(opt, left_pend, "left")
+        _extend_side(opt, left_pend, "left", exec_cfg)
         # phase 2: right extensions
         right_pend = []
         for st, task, a in current:
@@ -351,7 +351,7 @@ def chain2aln_batch(
             else:
                 a.qe = qlen
                 a.re = s.rbeg + s.len
-        _extend_side(opt, right_pend, "right")
+        _extend_side(opt, right_pend, "right", exec_cfg)
         # phase 3: finalize regs
         for st, task, a in current:
             c = task.chain

@@ -63,6 +63,7 @@ def align_regs_batch(
     eng: Engine,
     reads: List[np.ndarray],
     use_device_extension: bool | None = None,
+    exec_cfg=None,
 ) -> List[List[AlnReg]]:
     """Batched mem_align1_core over many reads.
 
@@ -71,44 +72,48 @@ def align_regs_batch(
     resolve in a single batched sa_lookup, and chain extension runs as
     cross-read device-kernel waves (engine/extend_batch.py).  Produces
     identical regions to align1_regs.
-    """
-    import os
 
+    exec_cfg (engine/exec_ctx.ExecConfig) picks per-stage device kernels
+    and an optional mesh to shard the device batches over; None keeps the
+    env-var defaults.
+    """
     from .chain import chain_flt, mem_chain, sample_ks
+    from .exec_ctx import DEFAULT as _DEFAULT_CFG
     from .extend_batch import chain2aln_batch
     from .seed_batch import collect_intv_batch
     from ..utils.timers import TIMERS
 
     from . import native_fm
 
+    if exec_cfg is None:
+        exec_cfg = _DEFAULT_CFG
     if use_device_extension is None:
         # the wave path picks its backend per wave (native C++ / python /
-        # device kernel via BWAMEM_TPU_DEVICE_EXTEND); False forces the
-        # sequential per-read oracle path (used by equivalence tests)
+        # device kernel via exec_cfg/BWAMEM_TPU_DEVICE_EXTEND); False forces
+        # the sequential per-read oracle path (used by equivalence tests)
         use_device_extension = True
     from . import native_chain
 
-    # BWAMEM_TPU_DEVICE_SEED=1 routes the full three-round SMEM seeding
-    # through the device bwt_smem1a kernel (engine/seed_device.py);
-    # BWAMEM_TPU_DEVICE_CHAIN=1 runs mem_chain+chain_flt as the vmapped
-    # lax.scan kernel (ops/chain_tpu.py)
-    device_seed = os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1"
-    device_chain = os.environ.get("BWAMEM_TPU_DEVICE_CHAIN") == "1"
-    device_salk = os.environ.get("BWAMEM_TPU_DEVICE_SA_LOOKUP") == "1"
+    device_seed = exec_cfg.want_device_seed()
+    device_chain = exec_cfg.want_device_chain()
+    device_salk = exec_cfg.want_device_sa_lookup()
     if (
         not device_seed
         and not device_chain
         and not device_salk
+        and exec_cfg.mesh is None
         and native_fm.available()
         and native_chain.available()
         and use_device_extension
     ):
-        return _align_regs_batch_native(opt, eng, reads, TIMERS)
+        return _align_regs_batch_native(opt, eng, reads, TIMERS, exec_cfg)
     with TIMERS.stage("seed"):
         if device_seed:
             from .seed_device import collect_intv_batch_device
 
-            intervals_list = collect_intv_batch_device(opt, eng.fm, reads)
+            intervals_list = collect_intv_batch_device(
+                opt, eng.fm, reads, mesh=exec_cfg.mesh
+            )
         elif native_fm.available():
             intervals_list = native_fm.collect_intv_batch(opt, eng.fm, reads)
         else:
@@ -126,18 +131,26 @@ def align_regs_batch(
             spans.append(read_spans)
         if not flat_ks:
             flat_rbegs = np.zeros(0, dtype=np.int64)
-        elif (
-            os.environ.get("BWAMEM_TPU_DEVICE_SA_LOOKUP") == "1"
-            and eng.fm.seq_len < (1 << 31)
-        ):
+        elif device_salk and eng.fm.seq_len < (1 << 31):
             from .seed_device import _get_dfm
             from ..ops.fmindex_tpu import sa_lookup as sa_lookup_dev
 
-            flat_rbegs = np.asarray(
-                sa_lookup_dev(
-                    _get_dfm(eng.fm), np.asarray(flat_ks, dtype=np.int32)
+            ks_arr = np.asarray(flat_ks, dtype=np.int32)
+            if exec_cfg.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                n_dev = exec_cfg.mesh.devices.size
+                pad = (-len(ks_arr)) % n_dev
+                ks_in = shard_batch(
+                    exec_cfg.mesh, np.pad(ks_arr, (0, pad))
                 )
-            ).astype(np.int64)
+                flat_rbegs = np.asarray(
+                    sa_lookup_dev(_get_dfm(eng.fm, exec_cfg.mesh), ks_in)
+                )[: len(ks_arr)].astype(np.int64)
+            else:
+                flat_rbegs = np.asarray(
+                    sa_lookup_dev(_get_dfm(eng.fm), ks_arr)
+                ).astype(np.int64)
         elif native_fm.available():
             flat_rbegs = native_fm.sa_batch(
                 eng.fm, np.asarray(flat_ks, dtype=np.int64)
@@ -165,7 +178,8 @@ def align_regs_batch(
                 for read_spans in spans
             ]
             chains_list = chains_device_batch(
-                opt, eng.fm, eng.idx.bns, reads, intervals_list, rbegs_list
+                opt, eng.fm, eng.idx.bns, reads, intervals_list, rbegs_list,
+                mesh=exec_cfg.mesh,
             )
             for query, chains in zip(reads, chains_list):
                 flt_chained_seeds(opt, eng.idx, len(query), query, chains)
@@ -185,7 +199,9 @@ def align_regs_batch(
                 flt_chained_seeds(opt, eng.idx, len(query), query, chains)
                 chains_list.append(chains)
     with TIMERS.stage("extend"):
-        regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
+        regs_list = chain2aln_batch(
+            opt, eng.idx, reads, chains_list, exec_cfg=exec_cfg
+        )
     with TIMERS.stage("dedup"):
         return [
             _flag_alt_regs(eng.idx.bns, sort_dedup_patch(opt, eng.idx, query, regs))
@@ -226,34 +242,36 @@ def native_seed_sa(opt, eng, reads, TIMERS=None):
     return rows, intv_off, n_intv, rbegs, rbeg_off, cnt.astype(np.int64)
 
 
-def native_pipeline_ok(eng, reads) -> bool:
+def native_pipeline_ok(eng, reads, exec_cfg=None) -> bool:
     """Full-native pipeline applicability: native libs present, short-read
     regime (mem_flt_chained_seeds is a no-op under ~700bp; we gate at the
     fused-core threshold), and an unpacked reference cache."""
     from . import native_fm, native_pipeline
+    from .exec_ctx import DEFAULT as _DEFAULT_CFG
 
+    if exec_cfg is None:
+        exec_cfg = _DEFAULT_CFG
     if not (native_fm.available() and native_pipeline.available()):
         return False
-    if os.environ.get("BWAMEM_TPU_FORCE_WAVES") == "1":
-        return False  # mesh / device-wave routing stays on the wave path
-    if (
-        os.environ.get("BWAMEM_TPU_DEVICE_SEED") == "1"
-        or os.environ.get("BWAMEM_TPU_DEVICE_CHAIN") == "1"
-        or os.environ.get("BWAMEM_TPU_DEVICE_SA_LOOKUP") == "1"
-    ):
-        return False  # device stage kernels route through align_regs_batch
+    if exec_cfg.any_device_stage():
+        # mesh / device-wave / device stage-kernel routing stays on
+        # align_regs_batch
+        return False
     # all read lengths supported: the native tail carries the long-read
     # stages too (mem_flt_chained_seeds / mem_seed_sw in pipeline.cpp)
     return eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
 
 
-def _align_regs_batch_native(opt, eng, reads, TIMERS):
+def _align_regs_batch_native(opt, eng, reads, TIMERS, exec_cfg=None):
     """Array-based fast path: native seeding -> vectorized interval sampling
     -> native SA walks -> native chaining, no per-interval Python objects."""
     from . import native_chain, native_fm
     from .chain import flt_chained_seeds
+    from .exec_ctx import DEFAULT as _DEFAULT_CFG
     from .extend_batch import chain2aln_batch
 
+    if exec_cfg is None:
+        exec_cfg = _DEFAULT_CFG
     rows, intv_off, n_intv, rbegs, rbeg_off, cnt = native_seed_sa(
         opt, eng, reads, TIMERS
     )
@@ -266,10 +284,10 @@ def _align_regs_batch_native(opt, eng, reads, TIMERS):
         native_core.available()
         and max_qlen < 500
         and eng.idx.bns.l_pac <= eng.idx._UNPACK_CACHE_MAX
-        # BWAMEM_TPU_FORCE_WAVES=1 keeps extension in cross-read device
-        # waves (chain2aln_batch) instead of the fused host core — the
+        # force_waves keeps extension in cross-read device waves
+        # (chain2aln_batch) instead of the fused host core — the
         # mesh/data-parallel path and real-TPU routing use this
-        and os.environ.get("BWAMEM_TPU_FORCE_WAVES") != "1"
+        and not exec_cfg.want_force_waves()
     )
     if fused:
         with TIMERS.stage("chain+extend"):
@@ -291,7 +309,9 @@ def _align_regs_batch_native(opt, eng, reads, TIMERS):
         for query, chains in zip(reads, chains_list):
             flt_chained_seeds(opt, eng.idx, len(query), query, chains)
     with TIMERS.stage("extend"):
-        regs_list = chain2aln_batch(opt, eng.idx, reads, chains_list)
+        regs_list = chain2aln_batch(
+            opt, eng.idx, reads, chains_list, exec_cfg=exec_cfg
+        )
     with TIMERS.stage("dedup"):
         return [
             _flag_alt_regs(eng.idx.bns, sort_dedup_patch(opt, eng.idx, query, regs))

@@ -35,17 +35,45 @@ def _bucket(n: int, buckets) -> int:
     return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
 
 
-def _get_dfm(fm: FMIndex) -> DeviceFMIndex:
-    dfm = getattr(fm, "_device_fm", None)
+def _get_dfm(fm: FMIndex, mesh=None) -> DeviceFMIndex:
+    """Device FM-index, cached per mesh (None = single default device).
+
+    Under a mesh the occ/SA tables are REPLICATED to every device (the
+    per-host-replica layout from SURVEY.md section 5); batch inputs shard."""
+    cache = getattr(fm, "_device_fms", None)
+    if cache is None:
+        cache = fm._device_fms = {}
+    dfm = cache.get(mesh)
     if dfm is None:
         dfm = DeviceFMIndex.from_host(fm)
-        fm._device_fm = dfm
+        if mesh is not None:
+            from dataclasses import replace as _replace
+
+            from ..parallel.mesh import replicate
+
+            ckpt, words, L2, sa = replicate(
+                mesh, dfm.ckpt, dfm.words, dfm.L2, dfm.sa
+            )
+            dfm = _replace(dfm, ckpt=ckpt, words=words, L2=L2, sa=sa)
+        cache[mesh] = dfm
     return dfm
 
 
-def _pad_batch(reads: List[np.ndarray]):
+def _placer(mesh):
+    """Batch-array placement: sharded over the mesh, or plain device."""
     import jax.numpy as jnp
 
+    if mesh is None:
+        return lambda a, dtype=None: jnp.asarray(a, dtype=dtype)
+    from ..parallel.mesh import shard_batch
+
+    def place(a, dtype=None):
+        return shard_batch(mesh, np.asarray(a, dtype=dtype))
+
+    return place
+
+
+def _pad_batch(reads: List[np.ndarray], place):
     B = _bucket(len(reads), _B_BUCKETS)
     L = _bucket(max((len(r) for r in reads), default=1), _L_BUCKETS)
     qseq = np.full((B, L), 4, dtype=np.int32)
@@ -53,21 +81,22 @@ def _pad_batch(reads: List[np.ndarray]):
     for i, r in enumerate(reads):
         qseq[i, : len(r)] = r
         qlen[i] = len(r)
-    return jnp.asarray(qseq), jnp.asarray(qlen), B, L
+    return place(qseq), place(qlen), B, L
 
 
 def collect_intv_batch_device(
-    opt: MemOptions, fm: FMIndex, reads: List[np.ndarray]
+    opt: MemOptions, fm: FMIndex, reads: List[np.ndarray], mesh=None
 ) -> List[List[SmemIntv]]:
     """Three-round seeding on device; per read the same sorted interval
-    list collect_intv produces."""
+    list collect_intv produces.  mesh: shard the read batch across it."""
     import jax.numpy as jnp
 
     n = len(reads)
     if n == 0:
         return []
-    dfm = _get_dfm(fm)
-    qseq, qlen_j, B, L = _pad_batch(reads)
+    dfm = _get_dfm(fm, mesh)
+    place = _placer(mesh)
+    qseq, qlen_j, B, L = _pad_batch(reads, place)
     qlen = np.zeros(B, dtype=np.int64)
     qlen[:n] = [len(r) for r in reads]
     per_read: List[List[SmemIntv]] = [[] for _ in range(n)]
@@ -78,8 +107,8 @@ def collect_intv_batch_device(
 
         _metrics.count("device_seed_waves")
         ret, mx0, mx1, ms, mqb, mqe, mcnt, ovf = smem1a_batch(
-            dfm, qseq, qlen_j, jnp.asarray(x_arr, dtype=jnp.int32),
-            jnp.asarray(min_arr, dtype=jnp.int32),
+            dfm, qseq, qlen_j, place(x_arr, np.int32),
+            place(min_arr, np.int32),
         )
         ret = np.asarray(ret)
         mx0, mx1, ms = np.asarray(mx0), np.asarray(mx1), np.asarray(ms)
@@ -135,14 +164,14 @@ def collect_intv_batch_device(
                 x2[b] = sx
                 mi2[b] = mi
                 l2r[b] = r
-            qseq_r2 = jnp.asarray(rows)
+            qseq_r2 = place(rows)
             qlen2 = np.zeros(B, dtype=np.int64)
             for b, (r, _sx, _mi) in enumerate(chunk):
                 qlen2[b] = qlen[r]
             ret, mx0, mx1, ms, mqb, mqe, mcnt, ovf = smem1a_batch(
-                dfm, qseq_r2, jnp.asarray(qlen2, dtype=jnp.int32),
-                jnp.asarray(x2, dtype=jnp.int32),
-                jnp.asarray(mi2, dtype=jnp.int32),
+                dfm, qseq_r2, place(qlen2, np.int32),
+                place(x2, np.int32),
+                place(mi2, np.int32),
             )
             mx0, mx1, ms = np.asarray(mx0), np.asarray(mx1), np.asarray(ms)
             mqb, mqe = np.asarray(mqb), np.asarray(mqe)
@@ -168,8 +197,8 @@ def collect_intv_batch_device(
                 break
             found, fx0, fx1, fs, _qb, fqe, nxt = seed_strategy1_batch(
                 dfm.ckpt, dfm.words, dfm.L2, qseq,
-                jnp.asarray(qlen, dtype=jnp.int32),
-                jnp.asarray(x, dtype=jnp.int32),
+                place(qlen, np.int32),
+                place(x, np.int32),
                 dfm.primary, dfm.seq_len, opt.min_seed_len,
                 int(opt.max_mem_intv),
             )

@@ -260,6 +260,7 @@ def chains_device_batch(
     reads: List[np.ndarray],
     intervals_list,
     rbegs_per_intv_list,
+    mesh=None,
 ) -> List[List[Chain]]:
     """mem_chain + chain_flt for a batch of reads on device.
 
@@ -267,6 +268,8 @@ def chains_device_batch(
     (sorted, as collect_intv emits) and the sampled suffix-array positions
     per interval (the batched pipeline resolves these in one sa call).
     Output is identical to the host oracle; overflowing reads fall back.
+    mesh: shard the per-read batch across the mesh devices (the kernel is
+    vmapped over reads, so XLA partitions it with no communication).
     """
     n = len(reads)
     if n == 0:
@@ -326,6 +329,13 @@ def chains_device_batch(
     )
     ctg_alt = np.asarray([a.is_alt for a in bns.anns], dtype=np.int32)
 
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        rbeg, qbeg, slen, nseed, qlen = shard_batch(
+            mesh, rbeg, qbeg, slen, nseed, qlen
+        )
+        ctg_end, ctg_alt = replicate(mesh, ctg_end, ctg_alt)
     (assign, crid, weight, nch, order, kept, first, emit, ovf) = [
         np.asarray(x)
         for x in chain_kernel(

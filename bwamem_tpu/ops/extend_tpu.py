@@ -218,9 +218,13 @@ def ksw_extend_batch(
 
 
 def ksw_extend_batch_np(
-    qseqs, tseqs, mat, opt_params, h0s, ws, bonuses, bucket_q=None, bucket_t=None
+    qseqs, tseqs, mat, opt_params, h0s, ws, bonuses, bucket_q=None,
+    bucket_t=None, mesh=None,
 ):
-    """Host wrapper: list of numpy (qseq, tseq) jobs -> list of result dicts."""
+    """Host wrapper: list of numpy (qseq, tseq) jobs -> list of result dicts.
+
+    mesh (explicit, preferred) or the active_mesh context shards the wave's
+    batch dimension over the mesh devices."""
     o_del, e_del, o_ins, e_ins, zdrop = opt_params
     B = len(qseqs)
     Q = max(bucket_q or 0, max((len(q) for q in qseqs), default=1), 1)
@@ -241,10 +245,11 @@ def ksw_extend_batch_np(
         np.asarray(ws, dtype=np.int32),
         np.asarray(bonuses, dtype=np.int32),
     ]
-    if _ACTIVE_MESH is not None:
+    if mesh is None:
+        mesh = _ACTIVE_MESH
+    if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mesh = _ACTIVE_MESH
         axes = tuple(mesh.axis_names)
         shard1 = NamedSharding(mesh, P(axes))
         shard2 = NamedSharding(mesh, P(axes, None))

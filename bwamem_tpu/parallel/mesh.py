@@ -32,3 +32,33 @@ def make_mesh(
         raise ValueError(f"idx_shards {idx_shards} must divide device count {n}")
     arr = np.array(devs).reshape(n // idx_shards, idx_shards)
     return Mesh(arr, ("data", "idx"))
+
+
+def shard_batch(mesh, *arrays):
+    """device_put arrays with dim 0 (the batch) sharded over ALL mesh axes.
+
+    The stage kernels are elementwise over their batch dimension, so XLA
+    partitions the jitted computation across the mesh with no collectives.
+    Batch sizes must divide the device count — the stage bucketing already
+    rounds to multiples of 64.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    out = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        spec = P(axes, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def replicate(mesh, *arrays):
+    """device_put arrays fully replicated over the mesh (index tables)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    out = [jax.device_put(jnp.asarray(a), sh) for a in arrays]
+    return out[0] if len(out) == 1 else tuple(out)

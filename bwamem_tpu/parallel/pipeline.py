@@ -2,47 +2,32 @@
 
 The reference's cluster story is a doc comment ("ship the image, mmap per
 JVM, Spark partitions align independently", BwaMemIndex.java:22-27).  Here
-it is executable: the read batch's device compute — the banded-SW extension
-waves — runs data-parallel over a ``jax.sharding.Mesh`` (the wave kernel is
-elementwise over its batch axis, so XLA partitions it across the mesh with
-zero communication), while the per-read finalize/pairing tail merges
-records back in input order, coordinate-complete.
+it is executable: the read batch's device compute runs data-parallel over a
+``jax.sharding.Mesh`` — always the banded-SW extension waves (the wave
+kernel is elementwise over its batch axis, so XLA partitions it across the
+mesh with zero communication), and optionally the device seeding, chaining
+and sampled-SA-lookup kernels too (``device_stages``) — while the per-read
+finalize/pairing tail merges records back in input order,
+coordinate-complete.
+
+Routing is an explicit ``engine.exec_ctx.ExecConfig`` value threaded
+through the pipeline (no process-global env mutation: concurrent aligners
+on different meshes are safe).
 
 Record output is asserted identical to the single-device path
 (tests/test_mesh_pipeline.py; __graft_entry__.dryrun_multichip).
 """
 from __future__ import annotations
 
-import contextlib
-import os
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..api.options import MemOptions
+from ..engine.exec_ctx import mesh_exec
 from ..engine.finalize import Aln, mark_primary_se, reorder_primary5
 from ..engine.pipeline import Engine, align_regs_batch, reg2sam_records
 from ..engine import pair as pair_mod
-from ..ops.extend_tpu import active_mesh
-
-
-@contextlib.contextmanager
-def _wave_env():
-    """Force the cross-read device-wave extension path."""
-    saved = {
-        k: os.environ.get(k)
-        for k in ("BWAMEM_TPU_DEVICE_EXTEND", "BWAMEM_TPU_FORCE_WAVES")
-    }
-    os.environ["BWAMEM_TPU_DEVICE_EXTEND"] = "1"
-    os.environ["BWAMEM_TPU_FORCE_WAVES"] = "1"
-    try:
-        yield
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
 
 
 def align_seqs_mesh(
@@ -53,16 +38,19 @@ def align_seqs_mesh(
     is_pe: bool = False,
     pes: Optional[List[pair_mod.PeStat]] = None,
     id_base: int = 0,
+    device_stages: Sequence[str] = (),
 ) -> List[List[Aln]]:
-    """Align a batch with extension waves sharded over ``mesh``.
+    """Align a batch with the device stage kernels sharded over ``mesh``.
 
-    Produces records identical to the single-device engine paths: seeding
-    and chaining run on the host, every extension wave is dispatched as one
-    sharded device computation, and the finalize/pairing tail emits the
-    same per-read record lists the aligner's oracle path does.
+    Produces records identical to the single-device engine paths: every
+    extension wave is dispatched as one sharded device computation;
+    ``device_stages`` (any of "seed", "chain", "sa_lookup") additionally
+    runs those stages' device kernels mesh-sharded.  The finalize/pairing
+    tail emits the same per-read record lists the aligner's oracle path
+    does.
     """
-    with _wave_env(), active_mesh(mesh):
-        regs_all = align_regs_batch(opt, eng, reads)
+    cfg = mesh_exec(mesh, device_stages)
+    regs_all = align_regs_batch(opt, eng, reads, exec_cfg=cfg)
     out: List[List[Aln]] = []
     if is_pe:
         if len(reads) % 2:

@@ -53,7 +53,7 @@ def test_mesh_pe_equals_single_device(fixture, monkeypatch):
 
     def spy(*a, **k):
         calls["n"] += 1
-        if extend_tpu._ACTIVE_MESH is not None:
+        if k.get("mesh") is not None or extend_tpu._ACTIVE_MESH is not None:
             calls["sharded"] += 1
         return orig(*a, **k)
 
@@ -93,6 +93,69 @@ def test_mesh_se_equals_single_device(fixture):
         mark_primary_se(opt, regs, i)
         ref = reg2sam_records(opt, eng, reads[i], regs)
         assert [_key(x) for x in mesh_out[i]] == [_key(x) for x in ref], i
+
+
+def test_mesh_full_device_stack_equals_single_device(fixture):
+    """DEVICE_SEED + DEVICE_CHAIN + DEVICE_SA_LOOKUP + DEVICE_EXTEND all
+    mesh-sharded in one end-to-end run, record-equal — with NO env vars."""
+    import os
+
+    for k in ("BWAMEM_TPU_DEVICE_SEED", "BWAMEM_TPU_DEVICE_CHAIN",
+              "BWAMEM_TPU_DEVICE_SA_LOOKUP", "BWAMEM_TPU_DEVICE_EXTEND",
+              "BWAMEM_TPU_FORCE_WAVES"):
+        assert os.environ.get(k) is None, f"{k} leaked into the test env"
+    eng, reads = fixture
+    opt = MemOptions()
+    mesh = make_mesh(8, idx_shards=1)
+    sub = reads[:24]
+    mesh_out = align_seqs_mesh(
+        opt, eng, sub, mesh, is_pe=False,
+        device_stages=("seed", "chain", "sa_lookup"),
+    )
+    from bwamem_tpu.engine.finalize import mark_primary_se
+    from bwamem_tpu.engine.pipeline import reg2sam_records
+
+    regs_all = align_regs_batch(opt, eng, sub, use_device_extension=False)
+    for i, regs in enumerate(regs_all):
+        mark_primary_se(opt, regs, i)
+        ref = reg2sam_records(opt, eng, sub[i], regs)
+        assert [_key(x) for x in mesh_out[i]] == [_key(x) for x in ref], i
+
+
+def test_public_aligner_mesh_path(fixture):
+    """BwaMemAligner(..., mesh=...) — mesh execution from the PUBLIC API,
+    no env vars, records equal to the default aligner."""
+    import os
+    import tempfile
+
+    assert os.environ.get("BWAMEM_TPU_FORCE_WAVES") is None
+    from bwamem_tpu.api.aligner import BwaMemAligner
+    from bwamem_tpu.api.index import BwaMemIndex
+    from bwamem_tpu.index.image import write_image
+
+    eng, reads = fixture
+    with tempfile.TemporaryDirectory() as d:
+        img = os.path.join(d, "t.img")
+        write_image(img, eng.idx)
+        with BwaMemIndex(img) as ix:
+            seqs = ["".join("ACGTN"[c] for c in r).encode()
+                    for r in reads[:16]]
+            mesh = make_mesh(8, idx_shards=2)
+            mesh_al = BwaMemAligner(ix, mesh=mesh)
+            ref_al = BwaMemAligner(ix)
+            got = mesh_al.align_seqs(seqs)
+            want = ref_al.align_seqs(seqs)
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert [
+                    (a.sam_flag, a.ref_id, a.ref_start, a.cigar, a.n_mismatches,
+                     a.aligner_score, a.md_tag, a.xa_tag)
+                    for a in g
+                ] == [
+                    (a.sam_flag, a.ref_id, a.ref_start, a.cigar, a.n_mismatches,
+                     a.aligner_score, a.md_tag, a.xa_tag)
+                    for a in w
+                ]
 
 
 def test_host_shard_merge_round_trip():
