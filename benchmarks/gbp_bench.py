@@ -58,9 +58,15 @@ def main():
     print(f"[{LABEL}] synthesized {REF_LEN/1e9:.2f} Gbp in {t_synth:.0f}s",
           flush=True)
 
+    # genome-scale memory discipline: hand the only copy of the reference to
+    # the builder (consume=True releases it during construction) and
+    # re-synthesize it afterwards for read simulation — same rng, same bytes
+    fasta = Fasta([FastaContig(LABEL + "1", "", codes)])
+    del codes
     t0 = time.time()
-    idx = build_index(Fasta([FastaContig(LABEL + "1", "", codes)]))
+    idx = build_index(fasta, consume=True)
     t_build = time.time() - t0
+    del fasta
     print(f"[{LABEL}] index built in {t_build:.0f}s", flush=True)
 
     img = f"/tmp/{LABEL}_ref.img"
@@ -72,6 +78,7 @@ def main():
     print(f"[{LABEL}] image {os.path.getsize(img)/1e9:.2f} GB round-trip "
           f"in {t_image:.0f}s", flush=True)
 
+    codes = synthetic_genome(REF_LEN, np.random.default_rng(99))
     aligner = BwaMemAligner(index)
     aligner.align_pairs()
     aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
@@ -94,6 +101,7 @@ def main():
     index.close()
     rec = {
         "metric": LABEL + "_scale_end_to_end",
+        "builder": "rb2-frugal" if 2 * REF_LEN + 1 >= 2**31 else "is-int32",
         "ref_len": REF_LEN,
         "reads": n_reads,
         "mapped_frac": round(mapped / n_reads, 4),

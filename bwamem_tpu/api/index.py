@@ -32,10 +32,11 @@ INDEX_FILE_EXTENSIONS = [".amb", ".ann", ".bwt", ".pac", ".sa"]
 class Algorithm(Enum):
     """Index construction algorithm selector (BwaMemIndex.Algorithm, :46-80).
 
-    AUTO picks by reference size like bwa; IS is the linear-time suffix-array
-    builder (our C++ SA-IS); RB2 existed for >2GB references in the
-    reference engine — we accept it and route to the same SA-IS, which has
-    no 2 GB limit (int64 indices throughout).
+    AUTO picks by reference size like bwa; IS forces the in-RAM linear-time
+    SA-IS builder; RB2 — the reference's bounded-memory >2 GB axis
+    (ropebwt2, BwaMemIndex.java:66-71) — routes to the memory-frugal
+     40-bit packed-SA builder (index/native/sais40.cpp), byte-identical
+    output at a fraction of the peak RSS.
     """
 
     AUTO = "auto"
@@ -55,7 +56,7 @@ class BwaMemIndex:
         """FASTA -> image (BwaMemIndex.createIndexImageFromFastaFile, :218-230)."""
         sniff_fasta(fasta_path)
         BwaMemIndex._assert_can_write(image_path)
-        idx = build_index(read_fasta(fasta_path))
+        idx = build_index(read_fasta(fasta_path), algo=algorithm.value)
         image.write_image(image_path, idx)
 
     @staticmethod
@@ -87,7 +88,7 @@ class BwaMemIndex:
         """FASTA -> bwa-format index file set (the createReferenceIndex native
         step, org_..._BwaMemIndex.c:42-63)."""
         sniff_fasta(fasta_path)
-        idx = build_index(read_fasta(fasta_path))
+        idx = build_index(read_fasta(fasta_path), algo=algorithm.value)
         bwtfile.write_index_files(prefix, idx)
 
     @staticmethod

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..utils.encoding import pack_2bit, revcomp_codes, unpack_2bit
 from ..utils.fasta import Fasta
+from . import native_sais
 from .sais import bwt_from_sa, suffix_array
 
 OCC_INTERVAL = 0x80  # 128 bases per checkpoint block (bwa bwt.h)
@@ -310,14 +311,20 @@ def deinterleave_bwt(data: np.ndarray, seq_len: int) -> np.ndarray:
     return codes
 
 
-def build_bns_and_pac(fasta: Fasta, seed: int = 11):
-    """FASTA -> (Bntseq, pac bytes, forward codes with ambiguity replaced)."""
+def build_bns_and_pac(fasta: Fasta, seed: int = 11, consume: bool = False):
+    """FASTA -> (Bntseq, pac bytes, forward codes with ambiguity replaced).
+
+    ``consume=True`` mutates/releases the caller's contig arrays as it goes
+    (ambiguity replacement happens in place and ``contig.codes`` is dropped)
+    — the genome-scale discipline: no second copy of the reference."""
     bns = Bntseq(seed=seed)
     rng = _Lrand48(seed)
     all_codes: List[np.ndarray] = []
     offset = 0
     for contig in fasta.contigs:
-        codes = contig.codes.copy()
+        codes = contig.codes if consume else contig.codes.copy()
+        if consume:
+            contig.codes = None
         n_ambs = 0
         # record maximal runs of ambiguous bases, replace with pseudo-random
         amb = codes >= 4
@@ -350,7 +357,12 @@ def build_bns_and_pac(fasta: Fasta, seed: int = 11):
         all_codes.append(codes)
         offset += len(codes)
     bns.l_pac = offset
-    fwd = np.concatenate(all_codes) if all_codes else np.zeros(0, dtype=np.uint8)
+    if not all_codes:
+        fwd = np.zeros(0, dtype=np.uint8)
+    elif len(all_codes) == 1:
+        fwd = all_codes[0]  # avoid the gigabyte-scale concatenate copy
+    else:
+        fwd = np.concatenate(all_codes)
     pac = pack_2bit(fwd)
     return bns, pac, fwd
 
@@ -377,11 +389,65 @@ def build_bwt(fwd_codes: np.ndarray, sa_intv: int = SA_INTERVAL) -> BwtIndex:
     )
 
 
-def build_index(fasta: Fasta, seed: int = 11, sa_intv: int = SA_INTERVAL) -> BwaIndex:
-    bns, pac, fwd = build_bns_and_pac(fasta, seed)
+def _pac_code_counts(pac: np.ndarray, l_pac: int) -> np.ndarray:
+    """Per-code counts (int64[4]) of the forward strand, from pac bytes.
+
+    One 256-entry LUT contraction over a byte histogram — O(1) extra memory
+    at any genome size (the frugal path never unpacks the reference)."""
+    lut = np.zeros((256, 4), dtype=np.int64)
+    for b in range(256):
+        for k in range(4):
+            lut[b, (b >> (2 * (3 - k))) & 3] += 1
+    byte_hist = np.bincount(np.asarray(pac, dtype=np.uint8), minlength=256)
+    counts = byte_hist.astype(np.int64) @ lut
+    counts[0] -= 4 * len(pac) - l_pac  # zero-padding in the last byte
+    return counts
+
+
+def build_bwt_frugal(pac: np.ndarray, l_pac: int,
+                     sa_intv: int = SA_INTERVAL) -> BwtIndex:
+    """FM-index over fwd+rc straight from the 2-bit pac, in bounded memory.
+
+    The package's ``Algorithm.RB2`` axis (BwaMemIndex.java:66-71): same
+    output as :func:`build_bwt`, but via the 40-bit packed-SA / 2-bit-text
+    builder (native/sais40.cpp) — ~44 GB peak for a 3.1 Gbp reference where
+    the int64 in-RAM path needs ~116 GB.  Raises if the native library is
+    unavailable; callers fall back to :func:`build_bwt`.
+    """
+    bwt_codes, primary, sa, _n1 = native_sais.build_bwt_pac40(
+        pac, l_pac, sa_intv
+    )
+    fwd_counts = _pac_code_counts(pac, l_pac)
+    counts = fwd_counts + fwd_counts[::-1]  # doubled text: fwd + revcomp
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(counts)
+    sa[0] = -1  # bwa convention: row 0 (sentinel) is never resolved via sa[0]
+    data = interleave_bwt(bwt_codes)
+    return BwtIndex(
+        primary=primary, L2=L2, seq_len=2 * l_pac, bwt=data, sa_intv=sa_intv,
+        sa=sa,
+    )
+
+
+def build_index(fasta: Fasta, seed: int = 11, sa_intv: int = SA_INTERVAL,
+                algo: str = "auto", consume: bool = False) -> BwaIndex:
+    """Build the full index.  ``algo`` mirrors BwaMemIndex.Algorithm
+    (BwaMemIndex.java:46-80): ``auto`` picks the in-RAM builder below 2 Gbp
+    and the bounded-memory builder above it (bwa's is/rb2 split), ``is``
+    forces in-RAM, ``rb2`` forces bounded-memory.  ``consume=True`` releases
+    the caller's contig arrays during construction (see build_bns_and_pac)."""
+    bns, pac, fwd = build_bns_and_pac(fasta, seed, consume=consume)
     if bns.l_pac == 0:
         from ..api.exceptions import CouldNotCreateIndexException
 
         raise CouldNotCreateIndexException("reference contains no bases")
+    frugal = algo == "rb2" or (algo == "auto" and 2 * bns.l_pac + 1 >= 2**31)
+    if frugal and native_sais.available():
+        fwd = None  # the frugal path never needs unpacked codes
+        try:
+            bwt = build_bwt_frugal(pac, bns.l_pac, sa_intv)
+            return BwaIndex(bns=bns, pac=pac, bwt=bwt)
+        except RuntimeError:  # adversarial reduced problem: int64 fallback
+            fwd = unpack_2bit(np.asarray(pac), bns.l_pac)
     bwt = build_bwt(fwd, sa_intv)
     return BwaIndex(bns=bns, pac=pac, bwt=bwt)

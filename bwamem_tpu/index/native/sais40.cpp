@@ -1,0 +1,377 @@
+// Memory-frugal genome-scale FM-index construction: BWT + sampled SA of the
+// doubled (forward + reverse-complement) reference straight from the 2-bit
+// pac, without ever materialising an int64 suffix array or an unpacked text.
+//
+// This is the package's equivalent of the reference's `Algorithm.RB2` axis
+// (BwaMemIndex.java:66-71; Makefile:27 links rope.o/rle.o precisely so
+// >2 GB references can be indexed in bounded memory).  Rather than porting
+// ropebwt2's incremental B+-tree — whose single-string construction is
+// inherently serial per symbol — this runs the same SA-IS induced sorting as
+// sais.cpp (sais_core.h) with a storage-specialised top level:
+//
+//   * text: 2-bit packed, both strands (N/4 bytes; 1.55 GB for GRCh38 vs
+//     6.2 GB of uint8 codes) — the random text reads in the induce loops
+//     touch 4x fewer cache lines;
+//   * suffix array: 40-bit signed packed entries (5 bytes; 31 GB vs 50 GB)
+//     — covers inputs to 2^38 symbols, far past any single reference;
+//   * suffix-type bits: 1 bit/position (0.8 GB vs 6.2 GB);
+//   * recursion (level 1 down): the reduced problem is ~N/4 names and fits
+//     the ordinary int32 in-RAM sais_core.
+//
+// Peak RSS for a 3.1 Gbp reference (N = 6.2e9 + 1):  ~31 GB SA + 1.6 GB
+// text + 0.8 GB types + ~10 GB level-1 buffers ≈ 44 GB — inside a 48 GB
+// budget, where the int64 path needed 116 GB (BENCH_GRCH38_r02.json).  The
+// output (.bwt codes, primary, sampled .sa) is byte-identical to the int64
+// path; tests/test_index_frugal.py fuzzes the equality.
+//
+// Exposed C ABI (consumed via ctypes from ../native_sais.py):
+//   int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac,
+//                          uint8_t* bwt_out,        // 2*l_pac bytes
+//                          int64_t* primary_out,
+//                          int64_t* sa_samp_out,    // (2*l_pac+intv)/intv
+//                          int64_t sa_intv,
+//                          int64_t* n1_out);        // diagnostics (or null)
+// Returns 0 ok, 1 allocation failure, 2 reduced problem exceeds int32
+// (caller falls back to the in-RAM int64 builder).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <new>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
+#include "sais_core.h"
+
+namespace {
+
+// The induce passes are TLB-bound at genome scale (random 2-bit text reads
+// + seven concurrent SA streams over ~33 GB); transparent hugepages on the
+// two big buffers cut dTLB misses.  Advisory only — failure is harmless.
+inline void advise_huge(void* p, size_t bytes) {
+#ifdef __linux__
+  uintptr_t a = (uintptr_t)p;
+  uintptr_t lo = (a + 2097151) & ~(uintptr_t)2097151;
+  uintptr_t hi = (a + bytes) & ~(uintptr_t)2097151;
+  if (hi > lo) madvise((void*)lo, hi - lo, MADV_HUGEPAGE);
+#else
+  (void)p;
+  (void)bytes;
+#endif
+}
+
+// 40-bit signed packed array; entry i lives at bytes [5i, 5i+5).  Loads read
+// 8 bytes and sign-extend from bit 39 (the buffer is over-allocated by 8);
+// stores write 4+1 bytes, so adjacent entries never share bytes and
+// parallel writers need no atomics.
+struct SA40 {
+  uint8_t* b = nullptr;
+  explicit SA40(int64_t n_entries) {
+    size_t bytes = (size_t)n_entries * 5 + 8;
+    b = static_cast<uint8_t*>(std::malloc(bytes));
+    if (b) advise_huge(b, bytes);
+  }
+  ~SA40() { std::free(b); }
+  inline int64_t get(int64_t i) const {
+    uint64_t raw;
+    std::memcpy(&raw, b + (size_t)i * 5, 8);
+    return (int64_t)(raw << 24) >> 24;
+  }
+  inline void set(int64_t i, int64_t v) {
+    uint32_t lo = (uint32_t)(uint64_t)v;
+    std::memcpy(b + (size_t)i * 5, &lo, 4);
+    b[(size_t)i * 5 + 4] = (uint8_t)((uint64_t)v >> 32);
+  }
+  // byte-fill patterns: 0 and -1 are the only bulk fills SA-IS needs
+  inline void fill(int64_t lo, int64_t hi, uint8_t byte) {
+    std::memset(b + (size_t)lo * 5, byte, (size_t)(hi - lo) * 5);
+  }
+};
+
+inline bool tget(const uint64_t* t, int64_t i) {
+  return (t[i >> 6] >> (i & 63)) & 1;
+}
+
+// The doubled-text view: symbol i in [0, N) where N = 2*l_pac + 1; values
+// are code+1 in 1..4 with the sentinel 0 at index N-1.  p2 is LSB-first
+// 2-bit packed (internal layout, not bwa's MSB-first pac order).
+struct Text2 {
+  const uint8_t* p2;
+  int64_t n;  // sentinel index == number of real symbols == 2*l_pac
+  inline uint32_t raw(int64_t i) const {
+    return (p2[i >> 2] >> ((i & 3) << 1)) & 3;
+  }
+  inline int64_t operator()(int64_t i) const {
+    if (__builtin_expect(i == n, 0)) return 0;
+    return (int64_t)raw(i) + 1;
+  }
+};
+
+// Top-level induce passes, storage-specialised (packed SA + 2-bit text +
+// sign-carried predecessor types); logic mirrors sais_core.h `induce`.
+void induce40(const Text2& S, SA40& SA, int64_t N, int64_t* cnt,
+              int64_t* bkt) {
+  constexpr int64_t K = 5, PF = 48;
+  auto bucket_edges = [&](bool end) {
+    int64_t sum = 0;
+    for (int64_t i = 0; i < K; ++i) {
+      sum += cnt[i];
+      bkt[i] = end ? sum : sum - cnt[i];
+    }
+  };
+  bucket_edges(false);  // L-pass: left-to-right, acts on positive entries
+  for (int64_t i = 0; i < N; ++i) {
+    if (i + PF < N) {
+      int64_t v = SA.get(i + PF);
+      if (v > 1) __builtin_prefetch(&S.p2[(v - 2) >> 2]);
+    }
+    int64_t v = SA.get(i);
+    if (v > 1) {  // +(p+1) with p > 0 ⇒ predecessor j = p-1 is L-type
+      int64_t j = v - 2;
+      int64_t c = S(j);
+      bool pred_l = j > 0 && S(j - 1) >= c;
+      SA.set(bkt[c]++, pred_l ? (j + 1) : -(j + 1));
+    }
+  }
+  bucket_edges(true);  // S-pass: right-to-left, acts on negative entries
+  for (int64_t i = N; i-- > 0;) {
+    if (i >= PF) {
+      int64_t v = SA.get(i - PF);
+      if (v < -1) __builtin_prefetch(&S.p2[(-v - 2) >> 2]);
+    }
+    int64_t v = SA.get(i);
+    if (v < -1) {  // -(p+1) with p > 0 ⇒ predecessor j = p-1 is S-type
+      int64_t j = -v - 2;
+      int64_t c = S(j);
+      bool pred_s = j > 0 && S(j - 1) <= c;
+      SA.set(--bkt[c], pred_s ? -(j + 1) : (j + 1));
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
+                       int64_t* primary_out, int64_t* sa_samp_out,
+                       int64_t sa_intv, int64_t* n1_out) {
+  try {
+    const int64_t n = 2 * l_pac;  // real symbols (fwd + revcomp)
+    const int64_t N = n + 1;      // + sentinel
+
+    // --- repack both strands into the internal LSB-first 2-bit buffer ---
+    std::vector<uint8_t> p2_v((size_t)(n + 3) / 4 + 8, 0);
+    uint8_t* p2 = p2_v.data();
+    advise_huge(p2, p2_v.size());
+    auto fwd_code = [&](int64_t i) -> uint32_t {
+      return (pac[i >> 2] >> ((3 - (i & 3)) << 1)) & 3;
+    };
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t byte = 0; byte < (n + 3) / 4; ++byte) {
+      uint32_t acc = 0;
+      for (int64_t k = 0; k < 4; ++k) {
+        int64_t i = byte * 4 + k;
+        if (i >= n) break;
+        uint32_t c = i < l_pac ? fwd_code(i) : 3 - fwd_code(2 * l_pac - 1 - i);
+        acc |= c << (k << 1);
+      }
+      p2[byte] = (uint8_t)acc;
+    }
+    Text2 S{p2, n};
+
+    // --- suffix-type bits (1 bit/position over N), blockwise parallel ---
+    std::vector<uint64_t> tbits_v((size_t)(N + 63) / 64, 0);
+    uint64_t* tb = tbits_v.data();
+    auto tset1 = [&](int64_t i) { tb[i >> 6] |= 1ull << (i & 63); };
+    // sequential-equivalent recurrence, split at 64-aligned boundaries so
+    // threads own whole words; each block's seed type is resolved by
+    // scanning forward across the equal-symbol run at its right edge
+    {
+      int nb = 1;
+#ifdef _OPENMP
+      nb = std::max(1, omp_get_max_threads());
+#endif
+      std::vector<int64_t> edges(nb + 1);
+      for (int b = 0; b <= nb; ++b)
+        edges[b] = std::min<int64_t>(N, (((__int128)N * b / nb) + 63) & ~63ll);
+      edges[nb] = N;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (int b = 0; b < nb; ++b) {
+        int64_t lo = edges[b], hi = edges[b + 1];
+        if (lo >= hi) continue;
+        int64_t i = hi - 1;
+        bool ti;
+        if (i == N - 1) {
+          ti = true;  // sentinel suffix is S
+        } else {
+          int64_t j = i;
+          while (j + 1 < N - 1 && S(j) == S(j + 1)) ++j;
+          ti = S(j) <= S(j + 1);
+        }
+        if (ti) tset1(i);
+        bool next = ti;
+        for (int64_t k = i; k > lo; --k) {
+          int64_t a = S(k - 1), c = S(k);
+          bool cur = (a < c) || (a == c && next);
+          if (cur) tset1(k - 1);
+          next = cur;
+        }
+      }
+    }
+    auto is_lms = [&](int64_t i) {
+      return i > 0 && tget(tb, i) && !tget(tb, i - 1);
+    };
+
+    // --- symbol histogram over the doubled text (+ sentinel) ---
+    int64_t cnt[5] = {1, 0, 0, 0, 0}, bkt[5];
+    {
+      int64_t c64[4] = {0, 0, 0, 0};
+#ifdef _OPENMP
+#pragma omp parallel
+      {
+        int64_t local[4] = {0, 0, 0, 0};
+#pragma omp for schedule(static)
+        for (int64_t i = 0; i < n; ++i) ++local[S.raw(i)];
+#pragma omp critical
+        for (int k = 0; k < 4; ++k) c64[k] += local[k];
+      }
+#else
+      for (int64_t i = 0; i < n; ++i) ++c64[S.raw(i)];
+#endif
+      for (int k = 0; k < 4; ++k) cnt[k + 1] = c64[k];
+    }
+    auto bucket_edges = [&](bool end) {
+      int64_t sum = 0;
+      for (int64_t i = 0; i < 5; ++i) {
+        sum += cnt[i];
+        bkt[i] = end ? sum : sum - cnt[i];
+      }
+    };
+
+    SA40 SA(N);
+    if (!SA.b) return 1;
+
+    // --- stage 1: sort LMS substrings by induced sorting ---
+    SA.fill(0, N, 0);
+    bucket_edges(true);
+    for (int64_t i = N; i-- > 1;)
+      if (is_lms(i)) SA.set(--bkt[S(i)], i + 1);  // pred of an LMS is L
+    induce40(S, SA, N, cnt, bkt);
+
+    // compact sorted LMS positions into SA[0..n1)
+    int64_t n1 = 0;
+    for (int64_t i = 0; i < N; ++i) {
+      int64_t v = SA.get(i);
+      int64_t p = (v < 0 ? -v : v) - 1;
+      if (p > 0 && is_lms(p)) SA.set(n1++, p);
+    }
+    if (n1_out) *n1_out = n1;
+    if (n1 >= std::numeric_limits<int32_t>::max()) return 2;
+
+    // name LMS substrings; names stored at SA[n1 + pos/2]
+    SA.fill(n1, N, 0xFF);  // -1 in 40-bit two's complement
+    int64_t name = 0, prev = -1;
+    for (int64_t i = 0; i < n1; ++i) {
+      int64_t pos = SA.get(i);
+      bool diff = false;
+      if (prev < 0) {
+        diff = true;
+      } else {
+        for (int64_t d = 0;; ++d) {
+          if (S(pos + d) != S(prev + d) ||
+              tget(tb, pos + d) != tget(tb, prev + d)) {
+            diff = true;
+            break;
+          }
+          if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) break;
+        }
+      }
+      if (diff) {
+        ++name;
+        prev = pos;
+      }
+      SA.set(n1 + pos / 2, name - 1);
+    }
+    std::vector<int32_t> s1((size_t)n1);
+    for (int64_t i = n1, j = 0; i < N; ++i) {
+      int64_t v = SA.get(i);
+      if (v >= 0) s1[(size_t)j++] = (int32_t)v;
+    }
+
+    // --- stage 2: the reduced problem fits the in-RAM int32 core; its SA
+    // aliases the head of the packed buffer (n1*4 <= N*5 bytes) ---
+    int32_t* SA1 = reinterpret_cast<int32_t*>(SA.b);
+    if (name < n1) {
+      saisns::sais_core<int32_t, int32_t>(s1.data(), SA1, (int32_t)n1,
+                                          (int32_t)name);
+    } else {
+      for (int64_t i = 0; i < n1; ++i) SA1[s1[(size_t)i]] = (int32_t)i;
+    }
+    std::vector<int32_t>().swap(s1);
+
+    // --- stage 3: induce the full SA from sorted LMS suffixes ---
+    SA40 lms(n1 > 0 ? n1 : 1);
+    if (!lms.b) return 1;
+    for (int64_t i = 1, j = 0; i < N; ++i)
+      if (is_lms(i)) lms.set(j++, i);
+    std::vector<uint64_t>().swap(tbits_v);
+    tb = nullptr;
+    // widen int32 level-1 order back into packed entries; backward, so the
+    // 5-byte writes at [5i, 5i+5) never clobber unread int32s at [4j, 4j+4)
+    for (int64_t i = n1; i-- > 0;) SA.set(i, lms.get(SA1[i]));
+    std::free(lms.b);
+    lms.b = nullptr;
+    SA.fill(n1, N, 0);
+    bucket_edges(true);
+    for (int64_t i = n1; i-- > 0;) {
+      int64_t j = SA.get(i);
+      SA.set(i, 0);
+      SA.set(--bkt[S(j)], j + 1);  // pred of an LMS suffix is L
+    }
+    induce40(S, SA, N, cnt, bkt);
+
+    // --- extract primary, sampled SA, and the stored-form BWT ---
+    // entries are ±(p+1); p == 0 marks the sentinel row (primary)
+    int64_t primary = -1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(max : primary)
+#endif
+    for (int64_t i = 0; i < N; ++i) {
+      int64_t v = SA.get(i);
+      if ((v < 0 ? -v : v) == 1) primary = i;  // unique row with p == 0
+    }
+    if (primary < 0) return 1;
+    *primary_out = primary;
+    const int64_t n_sa = (n + sa_intv) / sa_intv;
+    for (int64_t k = 0; k < n_sa; ++k) {
+      int64_t v = SA.get(k * sa_intv);
+      sa_samp_out[k] = (v < 0 ? -v : v) - 1;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < N; ++i) {
+      if (i == primary) continue;
+      int64_t v = SA.get(i);
+      int64_t p = (v < 0 ? -v : v) - 1;  // p >= 1 off the primary row
+      bwt_out[i - (i > primary)] = (uint8_t)S.raw(p - 1);
+    }
+    return 0;
+  } catch (const std::bad_alloc&) {
+    return 1;
+  }
+}
+
+}  // extern "C"

@@ -17,6 +17,8 @@ from ..utils.nativebuild import compile_shared, stale
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "sais.cpp")
+_SRC40 = os.path.join(_HERE, "native", "sais40.cpp")
+_HDR = os.path.join(_HERE, "native", "sais_core.h")
 # BWAMEM_TPU_NATIVE_DIR: load prebuilt natives from this directory and
 # never compile (the LIBBWA_PATH analog, BwaMemIndex.java:438-441)
 _NATIVE_DIR = os.environ.get("BWAMEM_TPU_NATIVE_DIR")
@@ -39,8 +41,8 @@ def _ensure_built() -> bool:
         if _build_failed:
             return False
         try:
-            if _NATIVE_DIR is None and stale(_LIB, [_SRC]):
-                compile_shared([_SRC], _LIB)
+            if _NATIVE_DIR is None and stale(_LIB, [_SRC, _SRC40, _HDR]):
+                compile_shared([_SRC, _SRC40], _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.bwamem_sais.restype = ctypes.c_int
             lib.bwamem_sais.argtypes = [
@@ -54,6 +56,16 @@ def _ensure_built() -> bool:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.bwamem_build_bwt40.restype = ctypes.c_int
+            lib.bwamem_build_bwt40.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64),
             ]
             _lib = lib
@@ -89,6 +101,44 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise MemoryError("native SA-IS failed")
     return sa
+
+
+def build_bwt_pac40(
+    pac: np.ndarray, l_pac: int, sa_intv: int
+) -> tuple[np.ndarray, int, np.ndarray, int]:
+    """Memory-frugal genome-scale FM-index core (native/sais40.cpp).
+
+    From the 2-bit ``pac`` alone, produces (bwt_codes, primary, sampled_sa,
+    n1) of the doubled fwd+rc text — byte-identical to the in-RAM path but
+    with a 40-bit packed suffix array and 2-bit text (the package's
+    ``Algorithm.RB2`` bounded-memory axis; BwaMemIndex.java:66-71).
+
+    Raises RuntimeError when the reduced problem exceeds int32 (adversarial
+    inputs only; callers fall back to the int64 builder).
+    """
+    if not _ensure_built():
+        raise RuntimeError("native SA-IS unavailable")
+    pac = np.ascontiguousarray(pac, dtype=np.uint8)
+    n = 2 * l_pac
+    bwt = np.empty(n, dtype=np.uint8)
+    n_sa = (n + sa_intv) // sa_intv
+    sa_samp = np.empty(n_sa, dtype=np.int64)
+    primary = ctypes.c_int64(-1)
+    n1 = ctypes.c_int64(-1)
+    rc = _lib.bwamem_build_bwt40(
+        pac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(l_pac),
+        bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(primary),
+        sa_samp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(sa_intv),
+        ctypes.byref(n1),
+    )
+    if rc == 1:
+        raise MemoryError("frugal FM-index build failed to allocate")
+    if rc != 0:
+        raise RuntimeError(f"frugal FM-index build unavailable (rc={rc})")
+    return bwt, int(primary.value), sa_samp, int(n1.value)
 
 
 def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
