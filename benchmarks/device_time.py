@@ -147,9 +147,12 @@ def main():
             return run
         return make
 
-    # ops/cell (static count off the kernel body): ~110 int32 VPU ops per
-    # (row, query-lane) incl. the log2(Q) prefix-max and Qp-wide writebacks
-    OPS_PER_CELL_PALLAS = 110
+    # ops/cell: static count of the [Q,B]-wide int32 VPU ops per target row
+    # in the v3 transposed kernel body (~72: tc-select 8, DP recurrences ~25,
+    # log2(Q) prefix-max 22, writebacks/window-shrink ~17).  Sublane
+    # reductions, [1,B] bookkeeping, and loop overhead are NOT counted, so
+    # the derived peak fraction is a lower bound on VPU utilization.
+    OPS_PER_CELL_PALLAS = 72
     for name, kern, extra in (
         ("extend_pallas", ksw_extend_pallas, dict(b_tile=512)),
         ("extend_scan", ksw_extend_batch, {}),

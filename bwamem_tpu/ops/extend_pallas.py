@@ -6,27 +6,39 @@ one Pallas kernel with the row state resident in VMEM for all T rows — no
 HBM round-trips between rows, which is what bounds the XLA-scan
 formulation.
 
-Layout: batch on sublanes, query columns on lanes (128-aligned).  The
-horizontal-gap prefix-max runs as log2(Q) roll+max steps on the VPU.  Grid
-partitions the batch into VMEM-sized tiles.
+v3 layout: TRANSPOSED — query columns on SUBLANES, jobs on LANES ([Q, B]
+arrays).  Chosen from measured Mosaic op costs on the v5e (relay-free
+microprobes, benchmarks/mosaic_probe.py):
 
-v2 design notes (relay-free device timing drove these — see
-benchmarks/device_time.py):
+  * a cross-LANE max reduction costs ~1.44 us while the same reduction
+    across SUBLANES costs ~0.11 us (13x) — and this kernel needs three row
+    reductions per target row (packed max+argmax, last-column H, window
+    shrink bounds);
+  * pltpu.roll along sublanes is ~2.5x cheaper than along lanes (the
+    horizontal-gap prefix-max is log2(Q) roll+max steps);
+  * per-job bookkeeping ([1, B] row vectors: band bounds, zdrop margins,
+    running maxima) costs ~27 ns/op vs ~14 ns for a [B, 1] column in the
+    old layout TIMES ~30 ops — a wash, but the row-vector form lets the
+    per-row target symbol come from ONE dynamic sublane slice of the
+    [T, B] target block (~0.13 us) instead of a T-wide masked lane
+    reduction (~2.9 us);
+  * int16 DP cells measured ~2.7x SLOWER than int32 (Mosaic unpacks), so
+    the cells stay int32.
 
-  * eh[] is stored SHIFTED: ``eh_hs[col] = eh[col+1].h`` plus a [Bt,1]
-    ``eh0`` column for eh[0].h, and ``eh_e[col] = eh[col].e``.  bwa's write
-    pattern (eh[j].h = H(i, j-1) for j in (beg, end], eh[beg].h = h1,
-    eh[j].e over [beg, end), eh[end].e = 0) then lands exactly on the
-    ``in_win`` mask with NO pad/roll of the row values and NO (Q+128)-wide
-    arrays — on the VPU an op on [Bt, Q+128] costs double one on [Bt, Q].
-  * row max + argmax fuse into ONE lane reduction via score*Qpow+col
-    packing (bwa's last-attaining-column tie-break is exactly the packed
-    max); the window-shrink scan needs two reductions (first/last alive)
-    derived from Hrow/E_next directly instead of three passes over the
-    written-back arrays.
+Other exactness-preserving structure (v2 heritage):
+
+  * eh[] is stored SHIFTED: ``eh_hs[q] = eh[q+1].h`` plus a [1, B] ``eh0``
+    row for eh[0].h, and ``eh_e[q] = eh[q].e``: bwa's write pattern
+    (eh[j].h = H(i, j-1) for j in (beg, end], eh[beg].h = h1, eh[j].e over
+    [beg, end), eh[end].e = 0) lands exactly on the ``in_win`` mask with no
+    padding or extra roll;
+  * row max + argmax fuse into ONE reduction via score*Qpow+col packing
+    (bwa's last-attaining-column tie-break IS the packed max);
   * the row loop is a ``while_loop`` that exits as soon as every lane is
-    done (zdrop / zero-row / tlen reached) — lockstep waves with mixed
-    tlen stop at the last live lane, not at the bucket bound.
+    done (zdrop / zero-row / tlen reached).
+
+Hot-kernel anchor: [EXT] ksw.c ksw_extend2, reached from
+mem_process_seqs (jnibwa.c:214) via mem_chain2aln.
 """
 from __future__ import annotations
 
@@ -41,27 +53,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -(1 << 30)  # plain int: jnp scalars would be captured consts
 
 
-def _lane_prefix_max(A, Q):
-    """P[j] = max_{k<=j} A[k] along the lane axis (log-step doubling)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, A.shape, dimension=1)
+def _sub_prefix_max(A, row, Q):
+    """P[q] = max_{k<=q} A[k] along the sublane axis (log-step doubling)."""
     P = A
     k = 1
     while k < Q:
-        shifted = pltpu.roll(P, shift=k, axis=1)
-        shifted = jnp.where(col >= k, shifted, NEG_INF)
+        shifted = pltpu.roll(P, shift=k, axis=0)
+        shifted = jnp.where(row >= k, shifted, NEG_INF)
         P = jnp.maximum(P, shifted)
         k <<= 1
     return P
 
 
 def _extend_kernel(
-    qseq_ref,  # [Bt, Q] int32
-    tseq_ref,  # [Bt, T] int32
-    scal_ref,  # [Bt, 128] int32: cols 0..4 = qlen, tlen, h0, w_adj, bonus
+    qseq_ref,  # [Q, Bt] int32 (query columns on sublanes)
+    tseq_ref,  # [T, Bt] int32
+    scal_ref,  # [8, Bt] int32: rows 0..4 = qlen, tlen, h0, w_adj, bonus
     mat_ref,  # [8, 128] int32 (5x5 matrix in cols 0..4 of rows 0..4)
-    out_ref,  # [Bt, 128] int32: cols 0..5 = score qle tle gtle gscore max_off
-    eh_hs,  # scratch [Bt, Q]: eh_hs[col] = eh[col+1].h  (shifted storage)
-    eh_e,  # scratch [Bt, Q]: eh_e[col] = eh[col].e
+    out_ref,  # [8, Bt] int32: rows 0..5 = score qle tle gtle gscore max_off
+    eh_hs,  # scratch [Q, Bt]: eh_hs[q] = eh[q+1].h  (shifted storage)
+    eh_e,  # scratch [Q, Bt]: eh_e[q] = eh[q].e
     *,
     Q: int,
     T: int,
@@ -72,31 +83,31 @@ def _extend_kernel(
     zdrop: int,
     qpow: int,
 ):
-    Bt = qseq_ref.shape[0]
+    Bt = qseq_ref.shape[1]
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
-    qlen = scal_ref[:, 0:1]
-    tlen = scal_ref[:, 1:2]
-    h0 = scal_ref[:, 2:3]
-    w_adj = scal_ref[:, 3:4]
-    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, Q), dimension=1)
-    colT = jax.lax.broadcasted_iota(jnp.int32, (Bt, T), dimension=1)
-    col_eins = col * e_ins
-    colm1_eins = col_eins - e_ins
-    # query profile per target symbol: qp_c[b, j] = mat[c, qseq[b, j]]
+    qlen = scal_ref[0:1, :]
+    tlen = scal_ref[1:2, :]
+    h0 = scal_ref[2:3, :]
+    w_adj = scal_ref[3:4, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Q, Bt), dimension=0)
+    row_eins = row * e_ins
+    rowm1_eins = row_eins - e_ins
+    # query profile per target symbol: qp_c[j, b] = mat[c, qseq[j, b]]
     qs = qseq_ref[:, :]
     qprof = []
     for c in range(5):
-        p = jnp.full((Bt, Q), mat_ref[c, 4], dtype=jnp.int32)
+        p = jnp.full((Q, Bt), mat_ref[c, 4], dtype=jnp.int32)
         for d in range(4):
             p = jnp.where(qs == d, mat_ref[c, d], p)
         qprof.append(p)
     # eh[] init in shifted storage: eh[j].h = max(h0 - oe_ins - (j-1)e, 0)
     # for 1 <= j <= qlen, eh[0].h = h0, 0 past qlen; eh[].e = 0
-    init_hs = jnp.maximum(h0 - oe_ins - col_eins, 0)
-    init_hs = jnp.where(col + 1 <= qlen, init_hs, 0)
+    init_hs = jnp.maximum(h0 - oe_ins - row_eins, 0)
+    init_hs = jnp.where(row + 1 <= qlen, init_hs, 0)
     eh_hs[:, :] = init_hs
-    eh_e[:, :] = jnp.zeros((Bt, Q), jnp.int32)
+    eh_e[:, :] = jnp.zeros((Q, Bt), jnp.int32)
+    mask_qlast = row == qlen - 1  # constant across target rows
 
     def cond(carry):
         i, _eh0, _beg, _end, done, *_rest = carry
@@ -108,38 +119,35 @@ def _extend_kernel(
         active = (done == 0) & (i < tlen)
         beg = jnp.maximum(beg, i - w_adj)
         end = jnp.minimum(jnp.minimum(end, i + w_adj + 1), qlen)
-        in_win = (col >= beg) & (col < end)
+        in_win = (row >= beg) & (row < end)
         h1 = jnp.where(
             beg == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0
         )
-        # per-row target symbol: masked reduce (dynamic lane slices must be
-        # 128-aligned on TPU, so pick column i via compare+max instead)
-        tc = jnp.max(
-            jnp.where(colT == i, tseq_ref[:, :], -1), axis=1, keepdims=True
-        )
+        # per-row target symbol: ONE dynamic sublane slice of [T, Bt]
+        tc = tseq_ref[pl.ds(i, 1), :]
         q = qprof[4]
         for c in range(4):
             q = jnp.where(tc == c, qprof[c], q)
-        # Hdiag(col) = eh[col].h = eh0 at col 0, eh_hs[col-1] past it
-        Hdiag = jnp.where(col == 0, eh0, pltpu.roll(eh_hs[:, :], shift=1, axis=1))
+        # Hdiag(q) = eh[q].h = eh0 at row 0, eh_hs[q-1] past it
+        Hdiag = jnp.where(row == 0, eh0, pltpu.roll(eh_hs[:, :], shift=1, axis=0))
         M = jnp.where(in_win & (Hdiag != 0), Hdiag + q, 0)
         E = jnp.where(in_win, eh_e[:, :], 0)
         Mc = jnp.maximum(M - oe_ins, 0)
-        P = _lane_prefix_max(Mc + col_eins, Q)
-        Pshift = pltpu.roll(P, shift=1, axis=1)
-        F = jnp.maximum(Pshift - colm1_eins, 0)
-        F = jnp.where((col >= 1) & in_win, F, 0)
+        P = _sub_prefix_max(Mc + row_eins, row, Q)
+        Pshift = pltpu.roll(P, shift=1, axis=0)
+        F = jnp.maximum(Pshift - rowm1_eins, 0)
+        F = jnp.where((row >= 1) & in_win, F, 0)
         Hrow = jnp.maximum(jnp.maximum(M, E), F)
         E_next = jnp.maximum(E - e_del, jnp.maximum(M - oe_del, 0))
         # fused row max + last-attaining argmax: packed score*qpow + col
         pk = jnp.max(
-            jnp.where(in_win, Hrow * qpow + col, 0), axis=1, keepdims=True
+            jnp.where(in_win, Hrow * qpow + row, 0), axis=0, keepdims=True
         )
         mrow = pk // qpow
         mj = pk - mrow * qpow
         # gscore needs H(i, qlen-1); only consumed when end == qlen
         h_last = jnp.max(
-            jnp.where(col == qlen - 1, Hrow, NEG_INF), axis=1, keepdims=True
+            jnp.where(mask_qlast, Hrow, NEG_INF), axis=0, keepdims=True
         )
         reaches = end == qlen
         upd_g = reaches & (gscore <= h_last) & active
@@ -172,37 +180,37 @@ def _extend_kernel(
         # eh[j].e = E(i+1, j) for j in [beg, end), eh[end].e = 0)
         win_act = in_win & active
         newh = jnp.where(win_act, Hrow, eh_hs[:, :])
-        newh = jnp.where((col == beg - 1) & active, 0, newh)
+        newh = jnp.where((row == beg - 1) & active, 0, newh)
         eh_hs[:, :] = newh
         newe = jnp.where(win_act, E_next, eh_e[:, :])
-        newe = jnp.where((col == end) & active, 0, newe)
+        newe = jnp.where((row == end) & active, 0, newe)
         eh_e[:, :] = newe
         eh0 = jnp.where((beg == 0) & active, h1, eh0)
         # window shrink over eh indices [beg, end]: alive(j) from the row
-        # values themselves.  j-space part (j = col in [beg, end)):
+        # values themselves.  j-space part (j = row in [beg, end)):
         # newe[j] != 0 | (j == beg ? h1 != 0 : H(i, j-1) != 0); the
-        # newh part for j = col+1 in (beg, end] is Hrow[col] != 0.
-        HrowShift = pltpu.roll(Hrow, shift=1, axis=1)
-        at_beg = col == beg  # (bool-vector selects don't lower in Mosaic)
+        # newh part for j = row+1 in (beg, end] is Hrow[row] != 0.
+        HrowShift = pltpu.roll(Hrow, shift=1, axis=0)
+        at_beg = row == beg  # (bool-vector selects don't lower in Mosaic)
         alive_j = in_win & (
             (E_next != 0)
             | (at_beg & (h1 != 0))
             | (jnp.logical_not(at_beg) & (HrowShift != 0))
         )
-        aliveH = (Hrow != 0) & in_win  # contributes at j = col + 1
+        aliveH = (Hrow != 0) & in_win  # contributes at j = row + 1
         first = jnp.min(
             jnp.minimum(
-                jnp.where(alive_j, col, NEG_INF * -1),
-                jnp.where(aliveH, col + 1, NEG_INF * -1),
+                jnp.where(alive_j, row, NEG_INF * -1),
+                jnp.where(aliveH, row + 1, NEG_INF * -1),
             ),
-            axis=1, keepdims=True,
+            axis=0, keepdims=True,
         )
         last = jnp.max(
             jnp.maximum(
-                jnp.where(alive_j, col, -1),
-                jnp.where(aliveH, col + 1, -1),
+                jnp.where(alive_j, row, -1),
+                jnp.where(aliveH, row + 1, -1),
             ),
-            axis=1, keepdims=True,
+            axis=0, keepdims=True,
         )
         any_alive = last >= 0
         beg2 = jnp.where(any_alive, first, end)
@@ -213,7 +221,7 @@ def _extend_kernel(
         return (i + 1, eh0, beg, end, done, maxv, max_i, max_j, max_ie,
                 gscore, max_off)
 
-    z1 = jnp.zeros((Bt, 1), jnp.int32)
+    z1 = jnp.zeros((1, Bt), jnp.int32)
     carry = (
         jnp.int32(0),  # i
         h0,  # eh0 = eh[0].h
@@ -230,13 +238,13 @@ def _extend_kernel(
     (_, _, beg, end, done, maxv, max_i, max_j, max_ie, gscore, max_off) = (
         jax.lax.while_loop(cond, row_body, carry)
     )
-    outcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), dimension=1)
-    res = jnp.where(outcol == 0, maxv, 0)
-    res = jnp.where(outcol == 1, max_j + 1, res)
-    res = jnp.where(outcol == 2, max_i + 1, res)
-    res = jnp.where(outcol == 3, max_ie + 1, res)
-    res = jnp.where(outcol == 4, gscore, res)
-    res = jnp.where(outcol == 5, max_off, res)
+    outrow = jax.lax.broadcasted_iota(jnp.int32, (8, Bt), dimension=0)
+    res = jnp.where(outrow == 0, maxv, 0)
+    res = jnp.where(outrow == 1, max_j + 1, res)
+    res = jnp.where(outrow == 2, max_i + 1, res)
+    res = jnp.where(outrow == 3, max_ie + 1, res)
+    res = jnp.where(outrow == 4, gscore, res)
+    res = jnp.where(outrow == 5, max_off, res)
     out_ref[:, :] = res
 
 
@@ -271,45 +279,60 @@ def ksw_extend_pallas(
     w_adj = jnp.minimum(w, jnp.maximum(max_ins, 1))
     max_del = ((qlen * max_sc + end_bonus - o_del) // e_del + 1).astype(jnp.int32)
     w_adj = jnp.minimum(w_adj, jnp.maximum(max_del, 1))
-    scal = jnp.zeros((B, 128), jnp.int32)
+    # jobs ride the LANE axis: pad the batch to a 128-lane multiple (padded
+    # jobs have tlen == 0 and are born done); queries/targets ride sublanes
+    # (8-multiples; padded positions sit past qlen/tlen and never activate)
+    Qp = -(-Q // 8) * 8
+    Tp = -(-T // 8) * 8
+    # keep the resident block (5 qprof + 2 eh + qseq + temps ~9 Q-rows, plus
+    # the target block) inside a conservative VMEM budget; lanes stay a
+    # 128-multiple so long-read buckets shrink the tile instead of spilling
+    vmem_cap = (8 << 20) // ((9 * Qp + Tp) * 4)
+    Bt = max(128, min(b_tile, (vmem_cap // 128) * 128))
+    Bp = -(-B // Bt) * Bt
+    scal = jnp.zeros((8, Bp), jnp.int32)
     for i, v in enumerate((qlen, tlen, h0, w_adj, end_bonus)):
-        scal = scal.at[:, i].set(v.astype(jnp.int32))
+        scal = scal.at[i, :B].set(v.astype(jnp.int32))
     mat_block = jnp.zeros((8, 128), jnp.int32)
     mat_block = mat_block.at[:5, :5].set(mat.astype(jnp.int32))
-    Bt = min(b_tile, B)
-    assert B % Bt == 0, (B, Bt)
+    qseq_t = jnp.zeros((Qp, Bp), jnp.int32).at[:Q, :B].set(
+        qseq.astype(jnp.int32).T
+    )
+    tseq_t = jnp.zeros((Tp, Bp), jnp.int32).at[:T, :B].set(
+        tseq.astype(jnp.int32).T
+    )
     qpow = 1
-    while qpow < max(Q, 2):
+    while qpow < max(Qp, 2):
         qpow <<= 1
     # packed (score*qpow + col) row reduction must stay inside int32: score
     # is bounded by 2*Q*max_sc + max h0/bonus headroom
     assert (2 * Q * max(max_sc, 1) + 65536) * qpow < (1 << 31), (Q, max_sc)
     kernel = partial(
-        _extend_kernel, Q=Q, T=T, o_del=o_del, e_del=e_del, o_ins=o_ins,
+        _extend_kernel, Q=Qp, T=Tp, o_del=o_del, e_del=e_del, o_ins=o_ins,
         e_ins=e_ins, zdrop=zdrop, qpow=qpow,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
-        grid=(B // Bt,),
+        out_shape=jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+        grid=(Bp // Bt,),
         in_specs=[
-            pl.BlockSpec((Bt, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Bt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Bt, Q), jnp.int32),
-            pltpu.VMEM((Bt, Q), jnp.int32),
+            pltpu.VMEM((Qp, Bt), jnp.int32),
+            pltpu.VMEM((Qp, Bt), jnp.int32),
         ],
         interpret=interpret,
-    )(qseq.astype(jnp.int32), tseq.astype(jnp.int32), scal, mat_block)
+    )(qseq_t, tseq_t, scal, mat_block)
     return dict(
-        score=out[:, 0],
-        qle=out[:, 1],
-        tle=out[:, 2],
-        gtle=out[:, 3],
-        gscore=out[:, 4],
-        max_off=out[:, 5],
+        score=out[0, :B],
+        qle=out[1, :B],
+        tle=out[2, :B],
+        gtle=out[3, :B],
+        gscore=out[4, :B],
+        max_off=out[5, :B],
     )

@@ -217,6 +217,27 @@ def ksw_extend_batch(
     )
 
 
+def _pallas_wave_ok(Q: int, max_sc: int) -> bool:
+    """Route waves through the Pallas VMEM kernel?  Default: yes on a real
+    TPU backend (measured 39 vs 2.4 GCUPS against the scan formulation on a
+    v5e, benchmarks/device_time.py); BWAMEM_TPU_EXTEND_KERNEL=pallas|scan
+    forces.  The packed row-reduction needs (2*Q*max_sc+2^16)*Qpow < 2^31 —
+    outside that domain (huge queries x huge match scores) fall back."""
+    import os
+
+    qpow = 1
+    while qpow < max(Q, 2):
+        qpow <<= 1
+    if (2 * Q * max(max_sc, 1) + 65536) * qpow >= (1 << 31):
+        return False
+    ov = os.environ.get("BWAMEM_TPU_EXTEND_KERNEL")
+    if ov == "pallas":
+        return True
+    if ov == "scan":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def ksw_extend_batch_np(
     qseqs, tseqs, mat, opt_params, h0s, ws, bonuses, bucket_q=None,
     bucket_t=None, mesh=None,
@@ -261,11 +282,20 @@ def ksw_extend_batch_np(
         ]
     else:
         placed = [jnp.asarray(v) for v in batch_args]
-    out = ksw_extend_batch(
-        *placed,
-        jnp.asarray(mat5),
-        o_del, e_del, o_ins, e_ins, zdrop,
-        int(mat5.max()),
-    )
+    max_sc = int(mat5.max())
+    if mesh is None and _pallas_wave_ok(Q, max_sc):
+        from .extend_pallas import ksw_extend_pallas
+
+        out = ksw_extend_pallas(
+            *placed, jnp.asarray(mat5), o_del, e_del, o_ins, e_ins, zdrop,
+            max_sc, interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        out = ksw_extend_batch(
+            *placed,
+            jnp.asarray(mat5),
+            o_del, e_del, o_ins, e_ins, zdrop,
+            max_sc,
+        )
     out = {k: np.asarray(v) for k, v in out.items()}
     return [{k: int(out[k][i]) for k in out} for i in range(B)]
