@@ -41,6 +41,8 @@ import numpy as np
 REF_LEN = int(os.environ.get("GBP_REF_LEN", 1_050_000_000))
 N_PAIRS = int(os.environ.get("GBP_PAIRS", 2_000))
 LABEL = os.environ.get("GBP_LABEL", "gbp")
+# grch38_bench pins rb2 (the bounded-memory artifact); default follows auto
+ALGO = os.environ.get("GBP_ALGO", "auto")
 
 
 def main():
@@ -64,7 +66,7 @@ def main():
     fasta = Fasta([FastaContig(LABEL + "1", "", codes)])
     del codes
     t0 = time.time()
-    idx = build_index(fasta, consume=True)
+    idx = build_index(fasta, consume=True, algo=ALGO)
     t_build = time.time() - t0
     del fasta
     print(f"[{LABEL}] index built in {t_build:.0f}s", flush=True)
@@ -101,7 +103,7 @@ def main():
     index.close()
     rec = {
         "metric": LABEL + "_scale_end_to_end",
-        "builder": "rb2-frugal" if 2 * REF_LEN + 1 >= 2**31 else "is-int32",
+        "builder": ALGO,
         "ref_len": REF_LEN,
         "reads": n_reads,
         "mapped_frac": round(mapped / n_reads, 4),

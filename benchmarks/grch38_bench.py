@@ -13,6 +13,7 @@ import sys
 os.environ.setdefault("GBP_REF_LEN", "3100000000")
 os.environ.setdefault("GBP_PAIRS", "1500")
 os.environ.setdefault("GBP_LABEL", "grch38")
+os.environ.setdefault("GBP_ALGO", "rb2")  # the bounded-memory artifact
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -111,6 +111,10 @@ class _FmArrays:
         self.fused = fused
         self.L2 = np.ascontiguousarray(fm.L2, dtype=np.int64)
         self.sa = np.ascontiguousarray(fm.sa, dtype=np.int64)
+        from ..utils.hugepages import advise_hugepages
+
+        advise_hugepages(raw)  # rank queries: random 64B reads over ~GBs
+        advise_hugepages(self.sa)  # sampled-SA walks: random int64 reads
         self.primary = int(fm.primary)
         self.seq_len = int(fm.seq_len)
         self.sa_intv = int(fm.sa_intv)

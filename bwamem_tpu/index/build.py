@@ -198,6 +198,9 @@ class BwaIndex:
         cache = getattr(self, "_unpacked", None)
         if cache is None and self.bns.l_pac <= self._UNPACK_CACHE_MAX:
             cache = unpack_2bit(np.asarray(self.pac), self.bns.l_pac)
+            from ..utils.hugepages import advise_hugepages
+
+            advise_hugepages(cache)  # random extension windows over ~GBs
             object.__setattr__(self, "_unpacked", cache)
         return cache
 
@@ -389,6 +392,21 @@ def build_bwt(fwd_codes: np.ndarray, sa_intv: int = SA_INTERVAL) -> BwtIndex:
     )
 
 
+def _int64_build_fits_ram(l_pac: int) -> bool:
+    """Would the in-RAM int64 builder fit comfortably on this host?
+
+    Measured peak is ~19 bytes/symbol over the doubled text (116 GB for
+    GRCh38, BENCH_GRCH38_r02.json).  ``auto`` keeps the faster in-RAM
+    builder when that fits in ~60% of physical RAM and falls back to the
+    bounded-memory builder otherwise — the same speed/memory split bwa's
+    AUTO makes between is and rb2 (BwaMemIndex.java:56-71)."""
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return False  # unknown host: choose the bounded-memory builder
+    return 19 * 2 * l_pac <= 0.6 * phys
+
+
 def _pac_code_counts(pac: np.ndarray, l_pac: int) -> np.ndarray:
     """Per-code counts (int64[4]) of the forward strand, from pac bytes.
 
@@ -441,7 +459,11 @@ def build_index(fasta: Fasta, seed: int = 11, sa_intv: int = SA_INTERVAL,
         from ..api.exceptions import CouldNotCreateIndexException
 
         raise CouldNotCreateIndexException("reference contains no bases")
-    frugal = algo == "rb2" or (algo == "auto" and 2 * bns.l_pac + 1 >= 2**31)
+    frugal = algo == "rb2" or (
+        algo == "auto"
+        and 2 * bns.l_pac + 1 >= 2**31
+        and not _int64_build_fits_ram(bns.l_pac)
+    )
     if frugal and native_sais.available():
         fwd = None  # the frugal path never needs unpacked codes
         try:

@@ -34,7 +34,9 @@
 // Returns 0 ok, 1 allocation failure, 2 reduced problem exceeds int32
 // (caller falls back to the in-RAM int64 builder).
 
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <limits>
@@ -163,6 +165,19 @@ extern "C" {
 int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
                        int64_t* primary_out, int64_t* sa_samp_out,
                        int64_t sa_intv, int64_t* n1_out) {
+  // BWAMEM_TPU_NATIVE_PROF=1: phase wall times to stderr
+  const bool prof = []() {
+    const char* e = getenv("BWAMEM_TPU_NATIVE_PROF");
+    return e && e[0] == '1';
+  }();
+  auto t0 = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!prof) return;
+    auto t1 = std::chrono::steady_clock::now();
+    fprintf(stderr, "[sais40] %-12s %8.1fs\n", name,
+            std::chrono::duration<double>(t1 - t0).count());
+    t0 = t1;
+  };
   try {
     const int64_t n = 2 * l_pac;  // real symbols (fwd + revcomp)
     const int64_t N = n + 1;      // + sentinel
@@ -188,6 +203,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
       p2[byte] = (uint8_t)acc;
     }
     Text2 S{p2, n};
+    lap("repack");
 
     // --- suffix-type bits (1 bit/position over N), blockwise parallel ---
     std::vector<uint64_t> tbits_v((size_t)(N + 63) / 64, 0);
@@ -233,6 +249,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     auto is_lms = [&](int64_t i) {
       return i > 0 && tget(tb, i) && !tget(tb, i - 1);
     };
+    lap("classify");
 
     // --- symbol histogram over the doubled text (+ sentinel) ---
     int64_t cnt[5] = {1, 0, 0, 0, 0}, bkt[5];
@@ -260,6 +277,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
       }
     };
 
+    lap("histogram");
     SA40 SA(N);
     if (!SA.b) return 1;
 
@@ -268,7 +286,9 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     bucket_edges(true);
     for (int64_t i = N; i-- > 1;)
       if (is_lms(i)) SA.set(--bkt[S(i)], i + 1);  // pred of an LMS is L
+    lap("stage1-seed");
     induce40(S, SA, N, cnt, bkt);
+    lap("stage1-ind");
 
     // compact sorted LMS positions into SA[0..n1)
     int64_t n1 = 0;
@@ -279,6 +299,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     }
     if (n1_out) *n1_out = n1;
     if (n1 >= std::numeric_limits<int32_t>::max()) return 2;
+    lap("compact");
 
     // name LMS substrings; names stored at SA[n1 + pos/2]
     SA.fill(n1, N, 0xFF);  // -1 in 40-bit two's complement
@@ -304,6 +325,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
       }
       SA.set(n1 + pos / 2, name - 1);
     }
+    lap("naming");
     std::vector<int32_t> s1((size_t)n1);
     for (int64_t i = n1, j = 0; i < N; ++i) {
       int64_t v = SA.get(i);
@@ -320,6 +342,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
       for (int64_t i = 0; i < n1; ++i) SA1[s1[(size_t)i]] = (int32_t)i;
     }
     std::vector<int32_t>().swap(s1);
+    lap("recursion");
 
     // --- stage 3: induce the full SA from sorted LMS suffixes ---
     SA40 lms(n1 > 0 ? n1 : 1);
@@ -340,7 +363,9 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
       SA.set(i, 0);
       SA.set(--bkt[S(j)], j + 1);  // pred of an LMS suffix is L
     }
+    lap("stage3-place");
     induce40(S, SA, N, cnt, bkt);
+    lap("stage3-ind");
 
     // --- extract primary, sampled SA, and the stored-form BWT ---
     // entries are ±(p+1); p == 0 marks the sentinel row (primary)
@@ -368,6 +393,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
       int64_t p = (v < 0 ? -v : v) - 1;  // p >= 1 off the primary row
       bwt_out[i - (i > primary)] = (uint8_t)S.raw(p - 1);
     }
+    lap("extract");
     return 0;
   } catch (const std::bad_alloc&) {
     return 1;
