@@ -12,14 +12,14 @@
 //   * text: 2-bit packed, both strands (N/4 bytes; 1.55 GB for GRCh38 vs
 //     6.2 GB of uint8 codes) — the random text reads in the induce loops
 //     touch 4x fewer cache lines;
-//   * suffix array: 40-bit signed packed entries (5 bytes; 31 GB vs 50 GB)
-//     — covers inputs to 2^38 symbols, far past any single reference;
+//   * suffix array: bit-packed signed entries at the minimal width for
+//     the input (34 bits for GRCh38 scale: 26.4 GB vs 50 GB int64);
 //   * suffix-type bits: 1 bit/position (0.8 GB vs 6.2 GB);
 //   * recursion (level 1 down): the reduced problem is ~N/4 names and fits
 //     the ordinary int32 in-RAM sais_core.
 //
-// Peak RSS for a 3.1 Gbp reference (N = 6.2e9 + 1):  ~31 GB SA + 1.6 GB
-// text + 0.8 GB types + ~10 GB level-1 buffers ≈ 44 GB — inside a 48 GB
+// Peak RSS for a 3.1 Gbp reference (N = 6.2e9 + 1): ~26 GB SA + 1.6 GB
+// text + 0.8 GB types + ~11 GB level-1 buffers ≈ 41 GB — inside a 48 GB
 // budget, where the int64 path needed 116 GB (BENCH_GRCH38_r02.json).  The
 // output (.bwt codes, primary, sampled .sa) is byte-identical to the int64
 // path; tests/test_index_frugal.py fuzzes the equality.
@@ -39,7 +39,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
 #include <limits>
+#include <memory>
 #include <new>
 #include <vector>
 
@@ -59,6 +61,11 @@ namespace {
 // two big buffers cut dTLB misses.  Advisory only — failure is harmless.
 inline void advise_huge(void* p, size_t bytes) {
 #ifdef __linux__
+  static const bool off = []() {
+    const char* e = getenv("BWAMEM_TPU_NO_HUGE");
+    return e && e[0] == '1';
+  }();
+  if (off) return;
   uintptr_t a = (uintptr_t)p;
   uintptr_t lo = (a + 2097151) & ~(uintptr_t)2097151;
   uintptr_t hi = (a + bytes) & ~(uintptr_t)2097151;
@@ -69,33 +76,71 @@ inline void advise_huge(void* p, size_t bytes) {
 #endif
 }
 
-// 40-bit signed packed array; entry i lives at bytes [5i, 5i+5).  Loads read
-// 8 bytes and sign-extend from bit 39 (the buffer is over-allocated by 8);
-// stores write 4+1 bytes, so adjacent entries never share bytes and
-// parallel writers need no atomics.
-struct SA40 {
+// Bit-packed signed array with the minimal width for the input: a 3.1 Gbp
+// reference (N = 6.2e9+1) needs 34-bit entries — 26.4 GB vs 50 GB int64.
+// Entry i occupies bits [i*bits, (i+1)*bits); since bits <= 57, any field
+// sits inside one unaligned 8-byte window (the buffer is over-allocated).
+// set() is a masked read-modify-write of that window, so it is safe for the
+// SEQUENTIAL passes SA-IS runs (seeding/induce/compact/naming/remap);
+// parallel passes only read or memset.
+struct SAPack {
   uint8_t* b = nullptr;
-  explicit SA40(int64_t n_entries) {
-    size_t bytes = (size_t)n_entries * 5 + 8;
+  int bits;
+  int sh;  // 64 - bits, for sign extension
+  uint64_t mask;
+  SAPack(int64_t n_entries, int bits_) : bits(bits_) {
+    sh = 64 - bits;
+    mask = (~0ull) >> sh;
+    size_t bytes = (size_t)((n_entries * (uint64_t)bits + 7) / 8) + 16;
     b = static_cast<uint8_t*>(std::malloc(bytes));
-    if (b) advise_huge(b, bytes);
+    if (!b) return;
+    advise_huge(b, bytes);
+    // parallel first-touch: on lazily-backed VMs serial faulting of fresh
+    // multi-GB mappings runs at ~0.05 GB/s; threads triple it, and the
+    // zeroing doubles as stage 1's empty-slot fill
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t c = 0; c < 64; ++c)
+      std::memset(b + bytes * c / 64, 0, bytes * (c + 1) / 64 - bytes * c / 64);
   }
-  ~SA40() { std::free(b); }
+  ~SAPack() { std::free(b); }
   inline int64_t get(int64_t i) const {
+    uint64_t bitoff = (uint64_t)i * bits;
     uint64_t raw;
-    std::memcpy(&raw, b + (size_t)i * 5, 8);
-    return (int64_t)(raw << 24) >> 24;
+    std::memcpy(&raw, b + (bitoff >> 3), 8);
+    raw >>= (bitoff & 7);
+    return ((int64_t)(raw << sh)) >> sh;
   }
   inline void set(int64_t i, int64_t v) {
-    uint32_t lo = (uint32_t)(uint64_t)v;
-    std::memcpy(b + (size_t)i * 5, &lo, 4);
-    b[(size_t)i * 5 + 4] = (uint8_t)((uint64_t)v >> 32);
+    uint64_t bitoff = (uint64_t)i * bits;
+    uint8_t* p = b + (bitoff >> 3);
+    int s = (int)(bitoff & 7);
+    uint64_t old;
+    std::memcpy(&old, p, 8);
+    old = (old & ~(mask << s)) | ((((uint64_t)v) & mask) << s);
+    std::memcpy(p, &old, 8);
   }
-  // byte-fill patterns: 0 and -1 are the only bulk fills SA-IS needs
-  inline void fill(int64_t lo, int64_t hi, uint8_t byte) {
-    std::memset(b + (size_t)lo * 5, byte, (size_t)(hi - lo) * 5);
+  // bulk fill with 0 or -1 (the only patterns SA-IS needs): memset the
+  // byte-aligned interior, set() the boundary entries that share bytes
+  // with their neighbours
+  inline void fill(int64_t lo, int64_t hi, int64_t val) {
+    while (lo < hi && ((uint64_t)lo * bits) & 7) set(lo++, val);
+    int64_t hi_al = hi;
+    while (hi_al > lo && ((uint64_t)hi_al * bits) & 7) set(--hi_al, val);
+    if (hi_al > lo)
+      std::memset(b + ((uint64_t)lo * bits >> 3), val ? 0xFF : 0,
+                  (size_t)(((uint64_t)hi_al * bits >> 3) -
+                           ((uint64_t)lo * bits >> 3)));
   }
 };
+
+// minimal two's-complement width covering +/-(limit)
+inline int bits_for(int64_t limit) {
+  int b = 2;
+  while (((int64_t)1 << (b - 1)) - 1 < limit) ++b;
+  return b;
+}
 
 inline bool tget(const uint64_t* t, int64_t i) {
   return (t[i >> 6] >> (i & 63)) & 1;
@@ -118,7 +163,7 @@ struct Text2 {
 
 // Top-level induce passes, storage-specialised (packed SA + 2-bit text +
 // sign-carried predecessor types); logic mirrors sais_core.h `induce`.
-void induce40(const Text2& S, SA40& SA, int64_t N, int64_t* cnt,
+void induce40(const Text2& S, SAPack& SA, int64_t N, int64_t* cnt,
               int64_t* bkt) {
   constexpr int64_t K = 5, PF = 48;
   auto bucket_edges = [&](bool end) {
@@ -174,8 +219,15 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
   auto lap = [&](const char* name) {
     if (!prof) return;
     auto t1 = std::chrono::steady_clock::now();
-    fprintf(stderr, "[sais40] %-12s %8.1fs\n", name,
-            std::chrono::duration<double>(t1 - t0).count());
+    long hwm_kb = 0;
+    if (FILE* f = fopen("/proc/self/status", "r")) {
+      char line[256];
+      while (fgets(line, sizeof line, f))
+        if (sscanf(line, "VmHWM: %ld", &hwm_kb) == 1) break;
+      fclose(f);
+    }
+    fprintf(stderr, "[sais40] %-12s %8.1fs  hwm %.1f GB\n", name,
+            std::chrono::duration<double>(t1 - t0).count(), hwm_kb / 1e6);
     t0 = t1;
   };
   try {
@@ -206,8 +258,15 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     lap("repack");
 
     // --- suffix-type bits (1 bit/position over N), blockwise parallel ---
-    std::vector<uint64_t> tbits_v((size_t)(N + 63) / 64, 0);
-    uint64_t* tb = tbits_v.data();
+    const size_t tb_words = (size_t)(N + 63) / 64;
+    std::unique_ptr<uint64_t[]> tbits_v(new uint64_t[tb_words]);
+    uint64_t* tb = tbits_v.get();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t c = 0; c < 16; ++c)
+      std::memset(tb + tb_words * c / 16, 0,
+                  8 * (tb_words * (c + 1) / 16 - tb_words * c / 16));
     auto tset1 = [&](int64_t i) { tb[i >> 6] |= 1ull << (i & 63); };
     // sequential-equivalent recurrence, split at 64-aligned boundaries so
     // threads own whole words; each block's seed type is resolved by
@@ -278,14 +337,36 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     };
 
     lap("histogram");
-    SA40 SA(N);
+    // +/-(N+1) entries: 34 bits for a whole-GRCh38-scale doubled text.
+    // Floor of 16: stage 2 aliases the buffer as an int32 SA of the reduced
+    // problem (n1 <= N/2 entries), which needs N*bits/8 >= 4*n1 bytes.
+    const int sa_bits = std::max(bits_for(N + 1), 16);
+    SAPack SA(N, sa_bits);
     if (!SA.b) return 1;
 
     // --- stage 1: sort LMS substrings by induced sorting ---
     SA.fill(0, N, 0);
+    lap("s1-fill");
     bucket_edges(true);
-    for (int64_t i = N; i-- > 1;)
-      if (is_lms(i)) SA.set(--bkt[S(i)], i + 1);  // pred of an LMS is L
+    // word-scan LMS enumeration (lms = t & ~(t<<1|carry)), words backward
+    // and bits high->low: same descending-i visit order as the plain loop,
+    // but only LMS positions (~N/4) are touched and the branch per
+    // non-LMS position disappears
+    {
+      int64_t nwords = (N + 63) >> 6;
+      for (int64_t w = nwords; w-- > 0;) {
+        uint64_t tw = tb[w];
+        uint64_t carry = w ? (tb[w - 1] >> 63) : 0;
+        uint64_t lmsm = tw & ~((tw << 1) | carry);
+        if (w == 0) lmsm &= ~1ull;  // i == 0 is never LMS
+        while (lmsm) {
+          int b = 63 - __builtin_clzll(lmsm);
+          int64_t i = ((int64_t)w << 6) | b;
+          SA.set(--bkt[S(i)], i + 1);  // pred of an LMS is L
+          lmsm &= ~(1ull << b);
+        }
+      }
+    }
     lap("stage1-seed");
     induce40(S, SA, N, cnt, bkt);
     lap("stage1-ind");
@@ -293,6 +374,11 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     // compact sorted LMS positions into SA[0..n1)
     int64_t n1 = 0;
     for (int64_t i = 0; i < N; ++i) {
+      if (i + 32 < N) {
+        int64_t vf = SA.get(i + 32);
+        int64_t pf = (vf < 0 ? -vf : vf) - 1;
+        if (pf > 0) __builtin_prefetch(&tb[pf >> 6]);
+      }
       int64_t v = SA.get(i);
       int64_t p = (v < 0 ? -v : v) - 1;
       if (p > 0 && is_lms(p)) SA.set(n1++, p);
@@ -302,9 +388,14 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     lap("compact");
 
     // name LMS substrings; names stored at SA[n1 + pos/2]
-    SA.fill(n1, N, 0xFF);  // -1 in 40-bit two's complement
+    SA.fill(n1, N, -1);
     int64_t name = 0, prev = -1;
     for (int64_t i = 0; i < n1; ++i) {
+      if (i + 4 < n1) {
+        int64_t pn = SA.get(i + 4);
+        __builtin_prefetch(&S.p2[pn >> 2]);
+        __builtin_prefetch(&tb[pn >> 6]);
+      }
       int64_t pos = SA.get(i);
       bool diff = false;
       if (prev < 0) {
@@ -326,7 +417,7 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
       SA.set(n1 + pos / 2, name - 1);
     }
     lap("naming");
-    std::vector<int32_t> s1((size_t)n1);
+    std::unique_ptr<int32_t[]> s1(new int32_t[(size_t)n1]);
     for (int64_t i = n1, j = 0; i < N; ++i) {
       int64_t v = SA.get(i);
       if (v >= 0) s1[(size_t)j++] = (int32_t)v;
@@ -336,29 +427,56 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
     // aliases the head of the packed buffer (n1*4 <= N*5 bytes) ---
     int32_t* SA1 = reinterpret_cast<int32_t*>(SA.b);
     if (name < n1) {
-      saisns::sais_core<int32_t, int32_t>(s1.data(), SA1, (int32_t)n1,
+      saisns::sais_core<int32_t, int32_t>(s1.get(), SA1, (int32_t)n1,
                                           (int32_t)name);
     } else {
       for (int64_t i = 0; i < n1; ++i) SA1[s1[(size_t)i]] = (int32_t)i;
     }
-    std::vector<int32_t>().swap(s1);
+    s1.reset();
     lap("recursion");
 
     // --- stage 3: induce the full SA from sorted LMS suffixes ---
-    SA40 lms(n1 > 0 ? n1 : 1);
+    SAPack lms(n1 > 0 ? n1 : 1, sa_bits);
     if (!lms.b) return 1;
-    for (int64_t i = 1, j = 0; i < N; ++i)
-      if (is_lms(i)) lms.set(j++, i);
-    std::vector<uint64_t>().swap(tbits_v);
+    {
+      int64_t nwords = (N + 63) >> 6, j = 0;
+      for (int64_t w = 0; w < nwords; ++w) {
+        uint64_t tw = tb[w];
+        uint64_t carry = w ? (tb[w - 1] >> 63) : 0;
+        uint64_t lmsm = tw & ~((tw << 1) | carry);
+        if (w == 0) lmsm &= ~1ull;
+        while (lmsm) {
+          int b = __builtin_ctzll(lmsm);
+          lms.set(j++, ((int64_t)w << 6) | b);
+          lmsm &= lmsm - 1;
+        }
+      }
+    }
+    tbits_v.reset();
     tb = nullptr;
-    // widen int32 level-1 order back into packed entries; backward, so the
-    // 5-byte writes at [5i, 5i+5) never clobber unread int32s at [4j, 4j+4)
-    for (int64_t i = n1; i-- > 0;) SA.set(i, lms.get(SA1[i]));
+    // widen the int32 level-1 order back into packed entries.  Backward
+    // iteration is clobber-safe iff the packed field starts at or past the
+    // int32 entry (bits >= 32); below that (small inputs) copy the order out
+    if (sa_bits >= 32) {
+      for (int64_t i = n1; i-- > 0;) {
+        if (i >= 32)
+          __builtin_prefetch(
+              lms.b + (((uint64_t)SA1[i - 32] * sa_bits) >> 3));
+        SA.set(i, lms.get(SA1[i]));
+      }
+    } else {
+      std::vector<int32_t> order(SA1, SA1 + n1);
+      for (int64_t i = 0; i < n1; ++i) SA.set(i, lms.get(order[(size_t)i]));
+    }
     std::free(lms.b);
     lms.b = nullptr;
     SA.fill(n1, N, 0);
     bucket_edges(true);
     for (int64_t i = n1; i-- > 0;) {
+      if (i >= 32) {
+        int64_t jf = SA.get(i - 32);
+        __builtin_prefetch(&S.p2[jf >> 2]);
+      }
       int64_t j = SA.get(i);
       SA.set(i, 0);
       SA.set(--bkt[S(j)], j + 1);  // pred of an LMS suffix is L
@@ -388,6 +506,11 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < N; ++i) {
+      if (i + 32 < N) {
+        int64_t vf = SA.get(i + 32);
+        int64_t pf = (vf < 0 ? -vf : vf) - 1;
+        if (pf > 0) __builtin_prefetch(&S.p2[(pf - 1) >> 2]);
+      }
       if (i == primary) continue;
       int64_t v = SA.get(i);
       int64_t p = (v < 0 ? -v : v) - 1;  // p >= 1 off the primary row
@@ -398,6 +521,74 @@ int bwamem_build_bwt40(const uint8_t* pac, int64_t l_pac, uint8_t* bwt_out,
   } catch (const std::bad_alloc&) {
     return 1;
   }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// bwa .bwt body interleave ([EXT] bwt_dump layout as pinned by
+// index/build.py interleave_bwt and the reference's ref.fa.bwt fixture):
+// per 128-base block 8 u32 checkpoint words (4 int64 LE cumulative
+// stored-char counts BEFORE the block) + packed data words (16 chars/word,
+// MSB-first 2-bit pairs); the trailing block carries ceil(chars/16) data
+// words; a final checkpoint row follows.  Chunked two-pass so it
+// parallelises without a per-block temp: pass 1 per-chunk symbol totals +
+// serial exclusive prefix, pass 2 writes blocks with running counts.
+// `out` must hold 16*(n_blocks-1) + 8 + ceil(last_chars/16) + 8 words.
+void bwamem_interleave_bwt(const uint8_t* bwt, int64_t n, uint32_t* out) {
+  const int64_t OCC = 128;
+  int64_t n_blocks = (n + OCC - 1) / OCC;
+  if (n_blocks < 1) n_blocks = 1;
+  const int64_t CB = 4096;  // blocks per chunk
+  int64_t n_chunks = (n_blocks + CB - 1) / CB;
+  std::vector<int64_t> chunk_tot((size_t)n_chunks * 4, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t ch = 0; ch < n_chunks; ++ch) {
+    int64_t lo = ch * CB * OCC;
+    int64_t hi = std::min(n, (ch + 1) * CB * OCC);
+    int64_t c[4] = {0, 0, 0, 0};
+    for (int64_t i = lo; i < hi; ++i) ++c[bwt[i]];
+    for (int k = 0; k < 4; ++k) chunk_tot[(size_t)ch * 4 + k] = c[k];
+  }
+  int64_t run[4] = {0, 0, 0, 0};
+  for (int64_t ch = 0; ch < n_chunks; ++ch)
+    for (int k = 0; k < 4; ++k) {
+      int64_t t = chunk_tot[(size_t)ch * 4 + k];
+      chunk_tot[(size_t)ch * 4 + k] = run[k];
+      run[k] += t;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t ch = 0; ch < n_chunks; ++ch) {
+    int64_t cum[4];
+    std::memcpy(cum, &chunk_tot[(size_t)ch * 4], 32);
+    int64_t b1 = std::min(n_blocks, (ch + 1) * CB);
+    for (int64_t b = ch * CB; b < b1; ++b) {
+      uint32_t* dst = out + 16 * b;
+      std::memcpy(dst, cum, 32);
+      int64_t beg = b * OCC;
+      int64_t end = std::min(n, beg + OCC);
+      int nw = (int)((end - beg + 15) / 16);
+      for (int wi = 0; wi < nw; ++wi) {
+        uint32_t wv = 0;
+        int64_t base = beg + (int64_t)wi * 16;
+        int lim = (int)std::min<int64_t>(16, end - base);
+        for (int k2 = 0; k2 < lim; ++k2) {
+          uint8_t cch = bwt[base + k2];
+          wv |= (uint32_t)cch << (30 - 2 * k2);
+          ++cum[cch];
+        }
+        dst[8 + wi] = wv;
+      }
+    }
+  }
+  int64_t last_words = ((n - (n_blocks - 1) * OCC) + 15) / 16;
+  if (last_words < 0) last_words = 0;
+  std::memcpy(out + 16 * (n_blocks - 1) + 8 + last_words, run, 32);
 }
 
 }  // extern "C"

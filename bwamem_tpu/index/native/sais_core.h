@@ -27,6 +27,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 #ifdef _OPENMP
@@ -102,8 +103,12 @@ void count_symbols(const Char* s, I n, I K, I* cnt) {
 // induce inner loops.
 template <typename I, typename Char>
 void sais_core(const Char* s, I* SA, I n, I K) {
-  std::vector<uint8_t> tv(n);
-  uint8_t* t = tv.data();
+  // uninitialized on purpose: classification assigns every byte, in
+  // parallel — a value-initialized vector would pay a serial zeroing pass
+  // over fresh pages first (first-touch faults are the dominant fixed cost
+  // on lazily-backed VMs)
+  std::unique_ptr<uint8_t[]> tv(new uint8_t[(size_t)n]);
+  uint8_t* t = tv.get();
   classify_types<Char, I>(s, t, n);
   auto is_lms = [&](I i) { return i > 0 && t[i] && !t[i - 1]; };
 
@@ -159,6 +164,11 @@ void sais_core(const Char* s, I* SA, I n, I K) {
   // compact sorted LMS positions into SA[0..n1)
   I n1 = 0;
   for (I i = 0; i < n; ++i) {
+    if (i + 32 < n) {
+      I vf = SA[i + 32];
+      I pf = (vf < 0 ? -vf : vf) - 1;
+      if (pf > 0) __builtin_prefetch(&t[pf]);
+    }
     I p = (SA[i] < 0 ? -SA[i] : SA[i]) - 1;
     if (p > 0 && is_lms(p)) SA[n1++] = p;
   }
@@ -167,6 +177,10 @@ void sais_core(const Char* s, I* SA, I n, I K) {
   std::fill(SA + n1, SA + n, (I)-1);
   I name = 0, prev = -1;
   for (I i = 0; i < n1; ++i) {
+    if (i + 4 < n1) {
+      __builtin_prefetch(&s[SA[i + 4]]);
+      __builtin_prefetch(&t[SA[i + 4]]);
+    }
     I pos = SA[i];
     bool diff = false;
     if (prev < 0) {
@@ -186,13 +200,13 @@ void sais_core(const Char* s, I* SA, I n, I K) {
     }
     SA[n1 + pos / 2] = name - 1;
   }
-  std::vector<I> s1(n1);
+  std::unique_ptr<I[]> s1(new I[(size_t)n1]);  // fully assigned below
   for (I i = n1, j = 0; i < n; ++i)
     if (SA[i] >= 0) s1[(size_t)j++] = SA[i];
 
   // --- stage 2: solve the reduced problem ---
   if (name < n1) {
-    sais_core<I, I>(s1.data(), SA, n1, name);
+    sais_core<I, I>(s1.get(), SA, n1, name);
   } else {
     for (I i = 0; i < n1; ++i) SA[s1[i]] = i;
   }
@@ -201,16 +215,20 @@ void sais_core(const Char* s, I* SA, I n, I K) {
   // so its n1-entry buffer is reused for the LMS position table (no second
   // allocation), and the type bits are released right after — the induce
   // passes never read t[] (sign-carried types)
-  I* lms = s1.data();
+  I* lms = s1.get();
   for (I i = 1, j = 0; i < n; ++i)
     if (is_lms(i)) lms[(size_t)j++] = i;
-  std::vector<uint8_t>().swap(tv);
+  tv.reset();
   t = nullptr;
-  for (I i = 0; i < n1; ++i) SA[i] = lms[SA[i]];
-  std::vector<I>().swap(s1);
+  for (I i = 0; i < n1; ++i) {
+    if (i + 32 < n1) __builtin_prefetch(&lms[SA[i + 32]]);
+    SA[i] = lms[SA[i]];
+  }
+  s1.reset();
   std::fill(SA + n1, SA + n, (I)0);
   bucket_edges(true);
   for (I i = n1; i-- > 0;) {
+    if (i >= 32) __builtin_prefetch(&s[SA[i - 32]]);
     I j = SA[i];
     SA[i] = 0;
     SA[--bkt[s[j]]] = j + 1;  // pred of an LMS suffix is L

@@ -68,6 +68,12 @@ def _ensure_built() -> bool:
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.bwamem_interleave_bwt.restype = None
+            lib.bwamem_interleave_bwt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
             _lib = lib
             return True
         except (OSError, subprocess.CalledProcessError):
@@ -139,6 +145,28 @@ def build_bwt_pac40(
     if rc != 0:
         raise RuntimeError(f"frugal FM-index build unavailable (rc={rc})")
     return bwt, int(primary.value), sa_samp, int(n1.value)
+
+
+def interleave_bwt(bwt_codes: np.ndarray) -> np.ndarray:
+    """bwa .bwt body interleave via the parallel native pass.
+
+    Output layout identical to index/build.py's numpy formulation (pinned by
+    the reference's ref.fa.bwt fixture); this exists because the numpy
+    version is minutes-scale on a whole-genome stored BWT."""
+    if not _ensure_built():
+        raise RuntimeError("native interleave unavailable")
+    bwt_codes = np.ascontiguousarray(bwt_codes, dtype=np.uint8)
+    n = len(bwt_codes)
+    n_blocks = max(1, (n + 127) // 128)
+    last_words = (n - (n_blocks - 1) * 128 + 15) // 16
+    total = 16 * (n_blocks - 1) + 8 + last_words + 8
+    out = np.empty(total, dtype=np.uint32)
+    _lib.bwamem_interleave_bwt(
+        bwt_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
 
 
 def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
