@@ -1289,44 +1289,74 @@ void bwamem_pipeline_batch(
             std::chrono::duration<double, std::milli>(t1 - t0).count());
     t0 = t1;
   };
-  // phase 1: per-read align to deduped regions ([EXT] worker1)
+  // phase 1: align to deduped regions ([EXT] worker1), block-at-a-time.
+  // BWAMEM_TPU_WAVE_TAIL=1 runs each block's reads as concurrent chain2aln
+  // coroutines whose banded extensions flush through the 16-lane SoA batch
+  // kernel between resume rounds (chains2aln_wave, align_core.cpp) —
+  // bit-identical results, measured ~neutral on this host because the
+  // scalar kernel's live-window shrink already beats lockstep lanes that
+  // sweep the union band; the wave plumbing exists as the insertion point
+  // for device-kernel flushes on fast-link hosts.  Default: sequential.
   std::vector<std::vector<RegT>> regs(n_reads);
+  const bool wave_tail = []() {
+    const char* e = getenv("BWAMEM_TPU_WAVE_TAIL");
+    return e && e[0] == '1';
+  }();
+  const int64_t BLK = 64;
+  const int64_t n_blk = (n_reads + BLK - 1) / BLK;
 #pragma omp parallel
   {
     Scratch s;
-#pragma omp for schedule(dynamic, 8)
-    for (int64_t i = 0; i < n_reads; ++i) {
-      std::vector<Chain> chains;
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t blk = 0; blk < n_blk; ++blk) {
+      const int64_t lo = blk * BLK, hi = std::min(n_reads, lo + BLK);
+      const int64_t nb = hi - lo;
+      std::vector<std::vector<Chain>> chv((size_t)nb);
       {
         SubTimer st(g_ns_chain);
-        build_chains(core_o, bns, rlen[i], intv + intv_off[i] * 5, n_intv[i],
-                     rbegs, rbeg_off + intv_off[i], n_rbeg + intv_off[i],
-                     chains);
-        std::vector<uint8_t> refbuf;
-        flt_chained_seeds(o, bns, rlen[i], rbuf + roff[i], chains, refbuf);
+        for (int64_t i = lo; i < hi; ++i) {
+          build_chains(core_o, bns, rlen[i], intv + intv_off[i] * 5,
+                       n_intv[i], rbegs, rbeg_off + intv_off[i],
+                       n_rbeg + intv_off[i], chv[(size_t)(i - lo)]);
+          std::vector<uint8_t> refbuf;
+          flt_chained_seeds(o, bns, rlen[i], rbuf + roff[i],
+                            chv[(size_t)(i - lo)], refbuf);
+        }
       }
-      std::vector<Reg> raw;
+      std::vector<std::vector<Reg>> raws((size_t)nb);
       {
         SubTimer st(g_ns_ext);
-        std::vector<uint8_t> rseq_buf, rev_buf;
-        std::vector<int8_t> alive;
-        for (const Chain& c : chains)
-          chain2aln(core_o, bns, rlen[i], rbuf + roff[i], c, raw, rseq_buf,
-                    rev_buf, alive);
+        if (wave_tail) {
+          std::vector<int64_t> qls((size_t)nb);
+          std::vector<const uint8_t*> qps((size_t)nb);
+          for (int64_t i = lo; i < hi; ++i) {
+            qls[(size_t)(i - lo)] = rlen[i];
+            qps[(size_t)(i - lo)] = rbuf + roff[i];
+          }
+          chains2aln_wave(core_o, bns, nb, qls.data(), qps.data(),
+                          chv.data(), raws.data());
+        } else {
+          for (int64_t i = lo; i < hi; ++i)
+            chains2aln(core_o, bns, rlen[i], rbuf + roff[i],
+                       chv[(size_t)(i - lo)], raws[(size_t)(i - lo)]);
+        }
       }
-      SubTimer st(g_ns_dedup);
-      std::vector<RegT>& out = regs[i];
-      out.reserve(raw.size());
-      for (const Reg& r : raw) {
-        RegT t;
-        t.rb = r.rb; t.re = r.re; t.qb = r.qb; t.qe = r.qe; t.rid = r.rid;
-        t.score = r.score; t.truesc = r.truesc; t.w = r.w;
-        t.seedcov = r.seedcov; t.seedlen0 = r.seedlen0;
-        t.frac_rep = r.frac_rep;
-        out.push_back(t);
+      for (int64_t i = lo; i < hi; ++i) {
+        SubTimer st(g_ns_dedup);
+        std::vector<Reg>& raw = raws[(size_t)(i - lo)];
+        std::vector<RegT>& out = regs[i];
+        out.reserve(raw.size());
+        for (const Reg& r : raw) {
+          RegT t;
+          t.rb = r.rb; t.re = r.re; t.qb = r.qb; t.qe = r.qe; t.rid = r.rid;
+          t.score = r.score; t.truesc = r.truesc; t.w = r.w;
+          t.seedcov = r.seedcov; t.seedlen0 = r.seedlen0;
+          t.frac_rep = r.frac_rep;
+          out.push_back(t);
+        }
+        sort_dedup_patch(o, bns, rbuf + roff[i], out, s);
+        flag_alt_regs(bns, out);
       }
-      sort_dedup_patch(o, bns, rbuf + roff[i], out, s);
-      flag_alt_regs(bns, out);
     }
   }
 
