@@ -35,9 +35,15 @@ def _align(n: int) -> int:
 
 
 def write_image(path: str, idx: BwaIndex) -> None:
-    bwt_bytes = idx.bwt.bwt.astype("<u4").tobytes()
-    sa_bytes = idx.bwt.sa.astype("<i8").tobytes()
-    pac_bytes = np.asarray(idx.pac, dtype=np.uint8).tobytes()
+    # zero-copy byte views (ascontiguousarray is a no-op for the builders'
+    # native-endian arrays): a genome-scale image is ~5 GB of sections, and
+    # every avoided copy also avoids a fresh first-touch pass
+    bwt_arr = np.ascontiguousarray(idx.bwt.bwt, dtype="<u4")
+    sa_arr = np.ascontiguousarray(idx.bwt.sa, dtype="<i8")
+    pac_arr = np.ascontiguousarray(np.asarray(idx.pac), dtype=np.uint8)
+    bwt_bytes = memoryview(bwt_arr).cast("B")
+    sa_bytes = memoryview(sa_arr).cast("B")
+    pac_bytes = memoryview(pac_arr).cast("B")
     off = HEADER_SIZE
     sections = {}
     for name, blob in (("bwt", bwt_bytes), ("sa", sa_bytes), ("pac", pac_bytes)):
