@@ -373,7 +373,7 @@ static SeedTask collect_intv_co(const FM& fm, const uint8_t* q, int len,
 
 // Lanes interleaved per core: enough in-flight misses to cover DRAM latency
 // without thrashing L1 with coroutine frames (tuned on the chr20 config).
-constexpr int kSeedLanes = 8;
+constexpr int kSeedLanes = 16;
 
 // Drive a group of reads' seeding coroutines round-robin.
 static void collect_intv_group(const FM& fm, int n, const uint8_t* const* qs,
@@ -549,7 +549,7 @@ void bwamem_sa_batch(const uint8_t* fused,
     int tid = 0, nth = 1;
 #endif
     int64_t lo = n * tid / nth, hi = n * (tid + 1) / nth;
-    constexpr int W = 16;
+    constexpr int W = 32;
     int64_t lane_i[W];   // output index per lane (-1 = idle)
     int64_t lane_k[W], lane_steps[W];
     int64_t next = lo;
