@@ -7,6 +7,8 @@ Our equivalent is the 40-bit packed-SA / 2-bit-text SA-IS top level
 byte-identity against the in-RAM builder across sizes and through the
 public image surface.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -59,6 +61,21 @@ def test_consume_releases_and_matches():
     a = build_index(fa, algo="rb2", consume=True)
     assert fa.contigs[0].codes is None  # released during construction
     b = build_index(_fasta(codes), algo="rb2")
+    assert np.array_equal(a.bwt.bwt, b.bwt.bwt)
+    assert np.array_equal(a.bwt.sa, b.bwt.sa)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BWAMEM_TPU_SLOW_TESTS") != "1",
+    reason="minutes-long scale test (BWAMEM_TPU_SLOW_TESTS=1)",
+)
+def test_frugal_matches_inram_5mbp():
+    from bwamem_tpu.utils.synth import synthetic_genome
+
+    codes = synthetic_genome(5_000_000, np.random.default_rng(11))
+    a = build_index(_fasta(codes), algo="is")
+    b = build_index(_fasta(codes), algo="rb2")
+    assert a.bwt.primary == b.bwt.primary
     assert np.array_equal(a.bwt.bwt, b.bwt.bwt)
     assert np.array_equal(a.bwt.sa, b.bwt.sa)
 
