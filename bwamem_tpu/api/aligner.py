@@ -18,7 +18,7 @@ import numpy as np
 from ..engine import pair as pair_mod
 from ..engine.finalize import Aln, mark_primary_se, reorder_primary5
 from ..engine.pipeline import align_regs_batch, reg2sam_records
-from ..utils.encoding import seq_to_codes
+from ..utils.encoding import seq_to_codes, seq_to_codes_batch
 from .alignment import BAM_CIGAR_CHARS, BwaMemAlignment
 from .exceptions import InvalidInputException
 from .options import MEM_F_PE, MEM_F_PRIMARY5, MemOptions
@@ -90,6 +90,101 @@ def _aln_to_record(p: Aln, m: Optional[Aln]) -> BwaMemAlignment:
         mate_ref_start=mate_pos,
         template_len=tlen,
     )
+
+
+def _records_fast(
+    n_reads: int, rows: np.ndarray, cig: np.ndarray, sbuf: bytes, is_pe: bool
+) -> List[List[BwaMemAlignment]]:
+    """Flat native record arrays -> BwaMemAlignment lists, vectorized.
+
+    Produces exactly what _aln_to_record(records_from_arrays(...)) would —
+    the fmt_BAMish semantics (flag 0x10000->0x100 mapping, outie tlen,
+    jnibwa.c:43-97) computed column-wise instead of per object."""
+    out: List[List[BwaMemAlignment]] = [[] for _ in range(n_reads)]
+    nr = rows.shape[0]
+    if nr == 0:
+        return out
+    text = sbuf.decode("latin-1")
+    ridx = rows[:, 0]
+    flag_i = rows[:, 1]
+    flag = np.where(flag_i & 0x10000, flag_i | 0x100, flag_i) & 0xFFFF
+    mapped = (flag & 0x4) == 0
+    reflen = rows[:, 20]
+    ref_id = np.where(mapped, rows[:, 2], -1)
+    ref_start = np.where(mapped, rows[:, 3], -1)
+    ref_end = np.where(mapped, rows[:, 3] + reflen, -1)
+    seq_start = np.where(mapped, rows[:, 21], -1)
+    seq_end = np.where(mapped, rows[:, 21] + rows[:, 22], -1)
+    nm = np.where(mapped, rows[:, 7], 0)
+    score = np.where(mapped, rows[:, 8], 0)
+    sub = np.where(mapped, rows[:, 9], 0)
+    # mate block only when paired with a mapped mate ((flag & 0x9) == 1);
+    # the mate's representative is its first (primary) record
+    counts = np.bincount(ridx, minlength=n_reads)
+    starts = np.zeros(n_reads, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    if is_pe:
+        mate_read = (ridx ^ 1).astype(np.int64)
+        has_mate = ((flag_i & 0x9) == 1) & (counts[mate_read] > 0)
+        m_idx = starts[mate_read]
+        m_rid = rows[m_idx, 2]
+        m_pos = rows[m_idx, 3]
+        mate_rid = np.where(has_mate, m_rid, -1)
+        mate_pos = np.where(has_mate, m_pos, -1)
+        p0 = rows[:, 3] + np.where(rows[:, 4] != 0, reflen - 1, 0)
+        m_reflen = rows[m_idx, 20]
+        m0 = m_pos + np.where(rows[m_idx, 4] != 0, m_reflen - 1, 0)
+        tlen = m0 - p0 + np.sign(m0 - p0)
+        tlen = np.where(
+            has_mate & mapped & (rows[:, 2] == m_rid), tlen, 0
+        )
+    else:
+        mate_rid = mate_pos = np.full(nr, -1, dtype=np.int64)
+        tlen = np.zeros(nr, dtype=np.int64)
+    cs_off = rows[:, 18].tolist()
+    cs_len = rows[:, 19].tolist()
+    md_off = rows[:, 13].tolist()
+    md_len = rows[:, 14].tolist()
+    xa_off = rows[:, 15].tolist()
+    xa_len = rows[:, 16].tolist()
+    has_xa = rows[:, 17].tolist()
+    cols = list(
+        zip(
+            flag.tolist(), ref_id.tolist(), ref_start.tolist(),
+            ref_end.tolist(), seq_start.tolist(), seq_end.tolist(),
+            rows[:, 6].tolist(), nm.tolist(), score.tolist(), sub.tolist(),
+            mate_rid.tolist(), mate_pos.tolist(), tlen.tolist(),
+        )
+    )
+    mapped_l = mapped.tolist()
+    ridx_l = ridx.tolist()
+    new = object.__new__
+    cls = BwaMemAlignment
+    for k in range(nr):
+        (fl, rid, rs, re_, ss, se, mq, nmv, sc, sb, mrid, mpos, tl) = cols[k]
+        if mapped_l[k]:
+            co = cs_off[k]
+            cigar = text[co : co + cs_len[k]]
+            mo = md_off[k]
+            md = text[mo : mo + md_len[k]]
+            if has_xa[k]:
+                xo = xa_off[k]
+                xa = text[xo : xo + xa_len[k]]
+            else:
+                xa = None
+        else:
+            cigar = ""
+            md = xa = None
+        a = new(cls)
+        a.__dict__.update(
+            sam_flag=fl, ref_id=rid, ref_start=rs, ref_end=re_,
+            seq_start=ss, seq_end=se, map_qual=mq, n_mismatches=nmv,
+            aligner_score=sc, suboptimal_score=sb, cigar=cigar, md_tag=md,
+            xa_tag=xa, mate_ref_id=mrid, mate_ref_start=mpos,
+            template_len=tl,
+        )
+        out[ridx_l[k]].append(a)
+    return out
 
 
 class BwaMemAligner:
@@ -164,8 +259,44 @@ class BwaMemAligner:
     ) -> List[List[BwaMemAlignment]]:
         """Align a batch; one result list per input sequence
         (BwaMemAligner.alignSeqs, :181-311)."""
-        raw = self.align_seqs_raw([func(s) for s in sequences])
+        seqs = [func(s) for s in sequences]
+        fast = self._align_seqs_fast(seqs)
+        if fast is not None:
+            return fast
+        raw = self.align_seqs_raw(seqs)
         return [[_aln_to_record(p, m) for p, m in per_read] for per_read in raw]
+
+    def _align_seqs_fast(self, seqs: List[bytes]):
+        """Vectorized record assembly over the native pipeline's flat
+        arrays — same records as the Aln path (asserted by
+        tests/test_fast_records.py), ~10x less Python-object churn.
+        Returns None when the native tail can't serve this batch."""
+        if not self._open:
+            raise RuntimeError("The aligner has been closed.")
+        from ..engine.pipeline import native_pipeline_ok
+        from ..utils import metrics as _metrics
+
+        opt = self.options
+        is_pe = bool(opt.flag & MEM_F_PE)
+        if is_pe and len(seqs) % 2:
+            raise InvalidInputException(
+                "paired alignment requires an even number of sequences"
+            )
+        self._index.ref_index()
+        try:
+            eng = self._index._require()
+            reads = seq_to_codes_batch(seqs)
+            if not native_pipeline_ok(eng, reads, self._exec_cfg):
+                return None
+            with _metrics.batch_scope():
+                arrays = self._align_native_arrays(eng, opt, reads, is_pe)
+                out = _records_fast(len(reads), *arrays, is_pe=is_pe)
+                _metrics.count("batches")
+                _metrics.count("reads", len(reads))
+                _metrics.count("records", sum(len(r) for r in out))
+            return out
+        finally:
+            self._index.de_ref_index()
 
     def align_seqs_raw(self, sequences: List[bytes]):
         from ..utils import metrics as _metrics
@@ -187,7 +318,7 @@ class BwaMemAligner:
         self._index.ref_index()
         try:
             eng = self._index._require()
-            reads = [seq_to_codes(s) for s in sequences]
+            reads = seq_to_codes_batch(sequences)
             if opt.flag & MEM_F_PE:
                 return self._align_pe(eng, opt, reads)
             return self._align_se(eng, opt, reads)
@@ -202,10 +333,11 @@ class BwaMemAligner:
         raw = self.align_seqs_raw(wire.decode_seqs(seqs_buf))
         return wire.encode_alignments(raw)
 
-    def _align_native(self, eng, opt, reads, is_pe: bool,
-                      id_base: int = 0, id_stride: int = 1):
-        """Full native pipeline (seeds -> records in one C call);
-        engine/native/pipeline.cpp, the mem_process_seqs equivalent.
+    def _align_native_arrays(self, eng, opt, reads, is_pe: bool,
+                             id_base: int = 0, id_stride: int = 1):
+        """Full native pipeline (seeds -> flat record arrays in one C
+        call); engine/native/pipeline.cpp, the mem_process_seqs
+        equivalent.
 
         id_base/id_stride set the engine-visible read/pair ordinals
         (hash tie-break inputs) — streaming and sharded callers pass the
@@ -220,10 +352,20 @@ class BwaMemAligner:
         if is_pe and self._pe_stats is not None:
             pes = self._resolve_pes(opt, eng, None)
         with TIMERS.stage("native_tail"):
-            return native_pipeline.pipeline_batch(
+            return native_pipeline.pipeline_batch_arrays(
                 opt, eng.idx, reads, *arrays, is_pe=is_pe, pes=pes,
                 id_base=id_base, id_stride=id_stride,
             )
+
+    def _align_native(self, eng, opt, reads, is_pe: bool,
+                      id_base: int = 0, id_stride: int = 1):
+        """Like _align_native_arrays but returns per-read Aln lists."""
+        from ..engine import native_pipeline
+
+        rows, cig, sbuf = self._align_native_arrays(
+            eng, opt, reads, is_pe, id_base=id_base, id_stride=id_stride
+        )
+        return native_pipeline.records_from_arrays(len(reads), rows, cig, sbuf)
 
     def _align_se(self, eng, opt, reads):
         from ..engine.pipeline import native_pipeline_ok

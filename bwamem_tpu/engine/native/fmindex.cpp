@@ -20,6 +20,10 @@
 #ifdef _OPENMP
 #include <omp.h>
 #endif
+#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512VL__) && defined(__AVX2__)
+#include <immintrin.h>
+#define BWAMEM_OCC_AVX512 1
+#endif
 
 namespace {
 
@@ -41,9 +45,53 @@ inline const uint32_t* blk_words(const FM& fm, int64_t b) {
   return reinterpret_cast<const uint32_t*>(fm.fused + (b << 6) + 32);
 }
 
-inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
+// keep-mask over a 64-bit word pair = 32 packed chars: tab[v] masks the
+// low bit of each of the first v chars (branchless prefix selection).
+// Char j of the pair lives in 32-bit half j>>4 at bits {31-2(j&15) hi,
+// 30-2(j&15) lo}; little-endian pairing puts half 0 in the low 32 bits.
+struct Keep64Tab {
+  uint64_t t[33];
+  constexpr Keep64Tab() : t{} {
+    for (int v = 0; v <= 32; ++v) {
+      auto k32 = [](int x) -> uint32_t {
+        if (x <= 0) return 0u;
+        if (x >= 16) return 0x55555555u;
+        return (uint32_t)(0xFFFFFFFFu << (32 - 2 * x)) & 0x55555555u;
+      };
+      t[v] = (uint64_t)k32(v) | ((uint64_t)k32(v - 16) << 32);
+    }
+  }
+};
+constexpr Keep64Tab kKeep64;
 
-// counts of all 4 symbols among conceptual BWT chars [0..k] inclusive
+inline uint64_t keep64(int v) {
+  return kKeep64.t[v < 0 ? 0 : (v > 32 ? 32 : v)];
+}
+
+// AVX512-VPOPCNTDQ fast path: the whole 128-char block is one 256-bit
+// register, the prefix mask comes from a 4-lane gather into kKeep64, and
+// the count is branchless — no data-dependent early exit to mispredict
+// (the scalar loop's `within > 0` break is ~random during seeding).
+#if BWAMEM_OCC_AVX512
+inline __m256i occ_keep_vec(int within) {
+  __m256i v = _mm256_sub_epi64(_mm256_set1_epi64x(within),
+                               _mm256_set_epi64x(96, 64, 32, 0));
+  v = _mm256_max_epi64(v, _mm256_setzero_si256());
+  v = _mm256_min_epi64(v, _mm256_set1_epi64x(32));
+  return _mm256_i64gather_epi64(
+      reinterpret_cast<const long long*>(kKeep64.t), v, 8);
+}
+
+inline int64_t occ_hsum4(__m256i x) {
+  __m128i s = _mm_add_epi64(_mm256_castsi256_si128(x),
+                            _mm256_extracti128_si256(x, 1));
+  return _mm_cvtsi128_si64(s) + _mm_extract_epi64(s, 1);
+}
+#endif
+
+// counts of all 4 symbols among conceptual BWT chars [0..k] inclusive.
+// Inner loop runs on 64-bit word pairs (half the iterations of the
+// 32-bit formulation; one popcountll per symbol per 32 chars).
 inline void occ4(const FM& fm, int64_t k, int64_t cnt[4]) {
   if (k == fm.seq_len) {
     for (int c = 0; c < 4; ++c) cnt[c] = fm.L2[c + 1] - fm.L2[c];
@@ -57,25 +105,79 @@ inline void occ4(const FM& fm, int64_t k, int64_t cnt[4]) {
   int64_t block = kk >> 7;
   int within = (int)(kk & 127) + 1;  // inclusive char count
   const int64_t* base = blk_ckpt(fm, block);
-  const uint32_t* w = blk_words(fm, block);
+#if BWAMEM_OCC_AVX512
+  const __m256i M = _mm256_set1_epi64x(0x5555555555555555ll);
+  __m256i w = _mm256_load_si256(
+      reinterpret_cast<const __m256i*>(blk_words(fm, block)));
+  __m256i hi = _mm256_and_si256(_mm256_srli_epi64(w, 1), M);
+  __m256i lo = _mm256_and_si256(w, M);
+  __m256i nhi = _mm256_xor_si256(hi, M), nlo = _mm256_xor_si256(lo, M);
+  __m256i keep = occ_keep_vec(within);
+  cnt[0] = base[0] + occ_hsum4(_mm256_popcnt_epi64(
+      _mm256_and_si256(_mm256_and_si256(nhi, nlo), keep)));
+  cnt[1] = base[1] + occ_hsum4(_mm256_popcnt_epi64(
+      _mm256_and_si256(_mm256_and_si256(nhi, lo), keep)));
+  cnt[2] = base[2] + occ_hsum4(_mm256_popcnt_epi64(
+      _mm256_and_si256(_mm256_and_si256(hi, nlo), keep)));
+  cnt[3] = base[3] + occ_hsum4(_mm256_popcnt_epi64(
+      _mm256_and_si256(_mm256_and_si256(hi, lo), keep)));
+#else
+  const uint64_t* w = reinterpret_cast<const uint64_t*>(blk_words(fm, block));
   int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0;
-  for (int wi = 0; wi < 8 && within > 0; ++wi, within -= 16) {
-    int valid = within < 16 ? within : 16;
-    uint32_t keep =
-        valid == 16 ? 0x55555555u
-                    : (uint32_t)(0xFFFFFFFFu << (32 - 2 * valid)) & 0x55555555u;
-    uint32_t hi = (w[wi] >> 1) & 0x55555555u;
-    uint32_t lo = w[wi] & 0x55555555u;
-    uint32_t nhi = ~hi & 0x55555555u, nlo = ~lo & 0x55555555u;
-    c0 += popcount32(nhi & nlo & keep);
-    c1 += popcount32(nhi & lo & keep);
-    c2 += popcount32(hi & nlo & keep);
-    c3 += popcount32(hi & lo & keep);
+  constexpr uint64_t M = 0x5555555555555555ull;
+  for (int wi = 0; wi < 4 && within > 0; ++wi, within -= 32) {
+    uint64_t keep = keep64(within);
+    uint64_t hi = (w[wi] >> 1) & M;
+    uint64_t lo = w[wi] & M;
+    uint64_t nhi = hi ^ M, nlo = lo ^ M;
+    c0 += __builtin_popcountll(nhi & nlo & keep);
+    c1 += __builtin_popcountll(nhi & lo & keep);
+    c2 += __builtin_popcountll(hi & nlo & keep);
+    c3 += __builtin_popcountll(hi & lo & keep);
   }
   cnt[0] = base[0] + c0;
   cnt[1] = base[1] + c1;
   cnt[2] = base[2] + c2;
   cnt[3] = base[3] + c3;
+#endif
+}
+
+// count of ONE symbol c among conceptual chars [0..k] inclusive — the
+// SA-walk primitive (inv_psi needs only the walked symbol's rank; doing
+// one popcount per pair instead of four quarters the walk's ALU work).
+inline int64_t occ1(const FM& fm, int64_t k, int c) {
+  if (k == fm.seq_len) return fm.L2[c + 1] - fm.L2[c];
+  if (k == -1) return 0;
+  int64_t kk = k - (k >= fm.primary);
+  int64_t block = kk >> 7;
+  int within = (int)(kk & 127) + 1;
+  const int64_t* base = blk_ckpt(fm, block);
+#if BWAMEM_OCC_AVX512
+  const __m256i M = _mm256_set1_epi64x(0x5555555555555555ll);
+  __m256i w = _mm256_load_si256(
+      reinterpret_cast<const __m256i*>(blk_words(fm, block)));
+  __m256i hi = _mm256_and_si256(_mm256_srli_epi64(w, 1), M);
+  __m256i lo = _mm256_and_si256(w, M);
+  __m256i xh = (c & 2) ? _mm256_setzero_si256() : M;
+  __m256i xl = (c & 1) ? _mm256_setzero_si256() : M;
+  __m256i m = _mm256_and_si256(_mm256_xor_si256(hi, xh),
+                               _mm256_xor_si256(lo, xl));
+  return base[c] + occ_hsum4(_mm256_popcnt_epi64(
+      _mm256_and_si256(m, occ_keep_vec(within))));
+#else
+  const uint64_t* w = reinterpret_cast<const uint64_t*>(blk_words(fm, block));
+  constexpr uint64_t M = 0x5555555555555555ull;
+  // symbol match via XOR: chars equal to c have both plane bits zero in t
+  uint64_t xh = (c & 2) ? 0 : M, xl = (c & 1) ? 0 : M;
+  int64_t n = 0;
+  for (int wi = 0; wi < 4 && within > 0; ++wi, within -= 32) {
+    uint64_t keep = keep64(within);
+    uint64_t hi = (w[wi] >> 1) & M;
+    uint64_t lo = w[wi] & M;
+    n += __builtin_popcountll((hi ^ xh) & (lo ^ xl) & keep);
+  }
+  return base[c] + n;
+#endif
 }
 
 // paired rank query ([EXT] bwt_2occ4): when both positions fall in the same
@@ -102,37 +204,50 @@ inline void occ4_pair(const FM& fm, int64_t k, int64_t l, int64_t ck[4],
   int wk = (int)(kk & 127) + 1;  // k's inclusive char count (k <= l here)
   int wl = (int)(ll & 127) + 1;
   const int64_t* base = blk_ckpt(fm, block);
-  const uint32_t* w = blk_words(fm, block);
+#if BWAMEM_OCC_AVX512
+  const __m256i M = _mm256_set1_epi64x(0x5555555555555555ll);
+  __m256i w = _mm256_load_si256(
+      reinterpret_cast<const __m256i*>(blk_words(fm, block)));
+  __m256i hi = _mm256_and_si256(_mm256_srli_epi64(w, 1), M);
+  __m256i lo = _mm256_and_si256(w, M);
+  __m256i nhi = _mm256_xor_si256(hi, M), nlo = _mm256_xor_si256(lo, M);
+  __m256i m[4] = {_mm256_and_si256(nhi, nlo), _mm256_and_si256(nhi, lo),
+                  _mm256_and_si256(hi, nlo), _mm256_and_si256(hi, lo)};
+  __m256i keepk = occ_keep_vec(wk), keepl = occ_keep_vec(wl);
+  for (int c = 0; c < 4; ++c) {
+    ck[c] = base[c] +
+            occ_hsum4(_mm256_popcnt_epi64(_mm256_and_si256(m[c], keepk)));
+    cl[c] = base[c] +
+            occ_hsum4(_mm256_popcnt_epi64(_mm256_and_si256(m[c], keepl)));
+  }
+#else
+  const uint64_t* w = reinterpret_cast<const uint64_t*>(blk_words(fm, block));
   int64_t a[4] = {0, 0, 0, 0}, bcnt[4] = {0, 0, 0, 0};
+  constexpr uint64_t M = 0x5555555555555555ull;
   int rk = wk, rl = wl;
-  for (int wi = 0; wi < 8 && rl > 0; ++wi, rk -= 16, rl -= 16) {
-    uint32_t hi = (w[wi] >> 1) & 0x55555555u;
-    uint32_t lo = w[wi] & 0x55555555u;
-    uint32_t nhi = ~hi & 0x55555555u, nlo = ~lo & 0x55555555u;
-    uint32_t m0 = nhi & nlo, m1 = nhi & lo, m2 = hi & nlo, m3 = hi & lo;
-    int vl = rl < 16 ? rl : 16;
-    uint32_t keepl =
-        vl == 16 ? 0x55555555u
-                 : (uint32_t)(0xFFFFFFFFu << (32 - 2 * vl)) & 0x55555555u;
-    bcnt[0] += popcount32(m0 & keepl);
-    bcnt[1] += popcount32(m1 & keepl);
-    bcnt[2] += popcount32(m2 & keepl);
-    bcnt[3] += popcount32(m3 & keepl);
+  for (int wi = 0; wi < 4 && rl > 0; ++wi, rk -= 32, rl -= 32) {
+    uint64_t hi = (w[wi] >> 1) & M;
+    uint64_t lo = w[wi] & M;
+    uint64_t nhi = hi ^ M, nlo = lo ^ M;
+    uint64_t m0 = nhi & nlo, m1 = nhi & lo, m2 = hi & nlo, m3 = hi & lo;
+    uint64_t keepl = keep64(rl);
+    bcnt[0] += __builtin_popcountll(m0 & keepl);
+    bcnt[1] += __builtin_popcountll(m1 & keepl);
+    bcnt[2] += __builtin_popcountll(m2 & keepl);
+    bcnt[3] += __builtin_popcountll(m3 & keepl);
     if (rk > 0) {
-      int vk = rk < 16 ? rk : 16;
-      uint32_t keepk =
-          vk == 16 ? 0x55555555u
-                   : (uint32_t)(0xFFFFFFFFu << (32 - 2 * vk)) & 0x55555555u;
-      a[0] += popcount32(m0 & keepk);
-      a[1] += popcount32(m1 & keepk);
-      a[2] += popcount32(m2 & keepk);
-      a[3] += popcount32(m3 & keepk);
+      uint64_t keepk = keep64(rk);
+      a[0] += __builtin_popcountll(m0 & keepk);
+      a[1] += __builtin_popcountll(m1 & keepk);
+      a[2] += __builtin_popcountll(m2 & keepk);
+      a[3] += __builtin_popcountll(m3 & keepk);
     }
   }
   for (int c = 0; c < 4; ++c) {
     ck[c] = base[c] + a[c];
     cl[c] = base[c] + bcnt[c];
   }
+#endif
 }
 
 struct Intv {
@@ -415,9 +530,7 @@ inline int64_t inv_psi(const FM& fm, int64_t k) {
   if (k == fm.primary) return 0;
   int64_t kk = k - (k > fm.primary);
   int c = bwt_char_at(fm, kk);
-  int64_t cnt[4];
-  occ4(fm, k, cnt);
-  return fm.L2[c] + cnt[c];
+  return fm.L2[c] + occ1(fm, k, c);
 }
 
 inline int64_t sa_one(const FM& fm, int64_t k) {

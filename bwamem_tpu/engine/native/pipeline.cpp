@@ -1237,7 +1237,12 @@ extern "C" {
 enum {
   RF_READ = 0, RF_FLAG, RF_RID, RF_POS, RF_IS_REV, RF_IS_ALT, RF_MAPQ, RF_NM,
   RF_SCORE, RF_SUB, RF_ALT_SC, RF_N_CIG, RF_CIG_OFF, RF_MD_OFF, RF_MD_LEN,
-  RF_XA_OFF, RF_XA_LEN, RF_HAS_XA, RF_N
+  RF_XA_OFF, RF_XA_LEN, RF_HAS_XA,
+  // derived fields so the API layer never walks cigars in Python:
+  // rendered BAM-coded cigar text (MIDNSH — correct N/H, unlike the
+  // reference's '?' table, BwaMemAligner.java:256), reference span
+  // (sum M/D), leading-softclip offset and query span (sum M/I)
+  RF_CIGSTR_OFF, RF_CIGSTR_LEN, RF_REFLEN, RF_SEQSTART, RF_SEQLEN, RF_N
 };
 
 void bwamem_buf_free(void* p) { std::free(p); }
@@ -1428,13 +1433,14 @@ void bwamem_pipeline_batch(
             g_ns_matesw.load() / 1e6, g_ns_xa.load() / 1e6,
             g_ns_rec.load() / 1e6, g_ns_chain.load() / 1e6,
             g_ns_ext.load() / 1e6, g_ns_dedup.load() / 1e6);
-  // serialize into flat arenas
+  // serialize into flat arenas (cigar text worst case: 11 chars per op)
   int64_t n_rec = 0, cig_len = 0, str_len = 0;
   for (const auto& rl : recs)
     for (const auto& r : rl) {
       ++n_rec;
       cig_len += (int64_t)r.cigar.size();
-      str_len += (int64_t)r.md.size() + (int64_t)r.xa.size();
+      str_len += (int64_t)r.md.size() + (int64_t)r.xa.size() +
+                 (int64_t)r.cigar.size() * 11;
     }
   int64_t* rows =
       (int64_t*)std::malloc(sizeof(int64_t) * (size_t)std::max(n_rec, (int64_t)1) * RF_N);
@@ -1470,6 +1476,25 @@ void bwamem_pipeline_batch(
       std::memcpy(str + spos, r.xa.data(), r.xa.size());
       spos += (int64_t)r.xa.size();
       row[RF_HAS_XA] = r.has_xa ? 1 : 0;
+      // derived: rendered cigar text + span sums (fmt_BAMish op shift:
+      // internal MIDSH op>2 -> BAM MIDNSH op+1, jnibwa.c:65-67)
+      static const char kCigChar[6] = {'M', 'I', 'D', 'N', 'S', 'H'};
+      int64_t cs = spos, reflen = 0, seqlen = 0, seqstart = 0;
+      for (size_t ci = 0; ci < r.cigar.size(); ++ci) {
+        uint32_t v = r.cigar[ci];
+        int op = (int)(v & 0xF);
+        uint32_t ln = v >> 4;
+        spos += (int64_t)snprintf(str + spos, 12, "%u%c", ln,
+                                  kCigChar[op > 2 ? op + 1 : op]);
+        if (op == 0 || op == 2) reflen += ln;
+        if (op == 0 || op == 1) seqlen += ln;
+        if (ci == 0 && op == 3) seqstart = ln;
+      }
+      row[RF_CIGSTR_OFF] = cs;
+      row[RF_CIGSTR_LEN] = spos - cs;
+      row[RF_REFLEN] = reflen;
+      row[RF_SEQSTART] = seqstart;
+      row[RF_SEQLEN] = seqlen;
       ++ri;
     }
   }

@@ -60,7 +60,7 @@ _OPT_F_FIELDS = (
     "mapq_coef_len",
 )
 # record row fields (RF_* enum in pipeline.cpp)
-_RF_N = 18
+_RF_N = 23
 
 
 def _ensure_built() -> bool:
@@ -133,7 +133,7 @@ def _get_tail_arrays(bns) -> _BnsTail:
     return cached
 
 
-def pipeline_batch(
+def pipeline_batch_arrays(
     opt,
     idx,
     reads: List[np.ndarray],
@@ -147,8 +147,12 @@ def pipeline_batch(
     pes: Optional[List] = None,  # list[PeStat] or None -> infer
     id_base: int = 0,
     id_stride: int = 1,
-) -> List[List[Aln]]:
-    """Seed intervals -> final per-read Aln record lists, all native."""
+):
+    """Seed intervals -> flat record arrays, all native; no Python-object
+    churn (the array substrate behind both the Aln path and the
+    vectorized BwaMemAlignment assembly in api/aligner.py).
+
+    Returns (rows [nr, _RF_N] int64, cig [cig_len] uint32, sbuf bytes)."""
     if not _ensure_built():
         raise RuntimeError("native pipeline unavailable")
     bns = idx.bns
@@ -205,31 +209,74 @@ def pipeline_batch(
     )
     try:
         nr = int(n_rec.value)
-        rows = np.ctypeslib.as_array(rows_p, shape=(max(nr, 1), _RF_N))
-        cig = np.ctypeslib.as_array(cig_p, shape=(max(int(cig_len.value), 1),))
+        rows = np.ctypeslib.as_array(rows_p, shape=(max(nr, 1), _RF_N))[
+            :nr
+        ].copy()
+        cig = np.ctypeslib.as_array(
+            cig_p, shape=(max(int(cig_len.value), 1),)
+        )[: int(cig_len.value)].copy()
         sbuf = ctypes.string_at(str_p, int(str_len.value)) if str_len.value else b""
-        out: List[List[Aln]] = [[] for _ in range(n)]
-        for k in range(nr):
-            row = rows[k]
-            nc = int(row[11])
-            co = int(row[12])
-            cigar = [(int(v & 0xF), int(v >> 4)) for v in cig[co : co + nc]]
-            md = sbuf[int(row[13]) : int(row[13]) + int(row[14])].decode()
-            xa = (
-                sbuf[int(row[15]) : int(row[15]) + int(row[16])].decode()
-                if int(row[17])
-                else None
-            )
-            out[int(row[0])].append(
-                Aln(
-                    pos=int(row[3]), rid=int(row[2]), flag=int(row[1]),
-                    is_rev=int(row[4]), is_alt=int(row[5]), mapq=int(row[6]),
-                    NM=int(row[7]), cigar=cigar, md=md, score=int(row[8]),
-                    sub=int(row[9]), alt_sc=int(row[10]), XA=xa,
-                )
-            )
-        return out
+        return rows, cig, sbuf
     finally:
         _lib.bwamem_buf_free(rows_p)
         _lib.bwamem_buf_free(cig_p)
         _lib.bwamem_buf_free(str_p)
+
+
+def records_from_arrays(n: int, rows, cig, sbuf) -> List[List[Aln]]:
+    """Flat record arrays -> per-read Aln lists (the object form used by
+    the wire codec, SAM renderer and oracle-equality tests)."""
+    out: List[List[Aln]] = [[] for _ in range(n)]
+    if not len(rows):
+        return out
+    text = sbuf.decode("latin-1")
+    ops = (cig & 0xF).astype(np.int64)
+    lens = (cig >> 4).astype(np.int64)
+    cols = rows.T.tolist()
+    (ridx, flag, rid, pos, is_rev, is_alt, mapq, nm, score, sub, alt_sc,
+     n_cig, cig_off, md_off, md_len, xa_off, xa_len, has_xa,
+     _cs_off, _cs_len, _reflen, _sstart, _slen) = cols
+    ops_l = ops.tolist()
+    lens_l = lens.tolist()
+    for k in range(len(ridx)):
+        co = cig_off[k]
+        ce = co + n_cig[k]
+        cigar = list(zip(ops_l[co:ce], lens_l[co:ce]))
+        mo = md_off[k]
+        md = text[mo : mo + md_len[k]]
+        if has_xa[k]:
+            xo = xa_off[k]
+            xa = text[xo : xo + xa_len[k]]
+        else:
+            xa = None
+        out[ridx[k]].append(
+            Aln(
+                pos=pos[k], rid=rid[k], flag=flag[k], is_rev=is_rev[k],
+                is_alt=is_alt[k], mapq=mapq[k], NM=nm[k], cigar=cigar,
+                md=md, score=score[k], sub=sub[k], alt_sc=alt_sc[k], XA=xa,
+            )
+        )
+    return out
+
+
+def pipeline_batch(
+    opt,
+    idx,
+    reads: List[np.ndarray],
+    intv_rows: np.ndarray,
+    intv_off: np.ndarray,
+    n_intv: np.ndarray,
+    rbegs: np.ndarray,
+    rbeg_off: np.ndarray,
+    n_rbeg: np.ndarray,
+    is_pe: bool,
+    pes: Optional[List] = None,
+    id_base: int = 0,
+    id_stride: int = 1,
+) -> List[List[Aln]]:
+    """Seed intervals -> final per-read Aln record lists, all native."""
+    rows, cig, sbuf = pipeline_batch_arrays(
+        opt, idx, reads, intv_rows, intv_off, n_intv, rbegs, rbeg_off,
+        n_rbeg, is_pe=is_pe, pes=pes, id_base=id_base, id_stride=id_stride,
+    )
+    return records_from_arrays(len(reads), rows, cig, sbuf)

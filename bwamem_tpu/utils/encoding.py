@@ -29,6 +29,23 @@ def seq_to_codes(seq: bytes | str | np.ndarray) -> np.ndarray:
     return NST_NT4_TABLE[arr]
 
 
+def seq_to_codes_batch(seqs) -> list:
+    """Batch seq_to_codes: one table lookup over the joined buffer, then
+    per-read views (no per-read numpy dispatch overhead)."""
+    enc = [s.encode("ascii") if isinstance(s, str) else s for s in seqs]
+    if not all(isinstance(s, (bytes, bytearray, memoryview)) for s in enc):
+        return [seq_to_codes(s) for s in seqs]
+    joined = b"".join(bytes(s) for s in enc)
+    codes = NST_NT4_TABLE[np.frombuffer(joined, dtype=np.uint8)]
+    out = []
+    pos = 0
+    for s in enc:
+        n = len(s)
+        out.append(codes[pos : pos + n])
+        pos += n
+    return out
+
+
 def codes_to_seq(codes: np.ndarray) -> bytes:
     return CODE_TO_BASE[np.asarray(codes, dtype=np.uint8)].tobytes()
 
