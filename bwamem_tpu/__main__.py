@@ -52,12 +52,10 @@ def _chunker(stream, chunk_bases: int, paired: bool):
     def make_chunk():
         out = []
         bases = 0
-        step = 2 if paired else 1
         while bases < chunk_bases:
             try:
                 if paired:
-                    r1 = next(stream[0])
-                    r2 = next(stream[1])
+                    r1, r2 = next(stream)
                     out.append((r1, r2))
                     bases += len(r1.seq) + len(r2.seq)
                 else:
@@ -69,6 +67,26 @@ def _chunker(stream, chunk_bases: int, paired: bool):
         return out
 
     return _Prefetcher(make_chunk)
+
+
+def _interleaved_pairs(it):
+    """Pair up an interleaved stream (bwa mem -p smart pairing,
+    MEM_F_SMARTPE, BwaMemAligner.java:76-84): reads 2i and 2i+1 are mates.
+    A dangling final read is dropped with a warning, matching bwa's
+    behavior on a truncated interleaved file."""
+    while True:
+        r1 = next(it, None)
+        if r1 is None:
+            return
+        r2 = next(it, None)
+        if r2 is None:
+            print(
+                "[bwamem_tpu] -p: odd number of reads in interleaved input; "
+                f"dropping unpaired final read {r1.name!r}",
+                file=sys.stderr,
+            )
+            return
+        yield r1, r2
 
 
 def cmd_index(args) -> int:
@@ -93,7 +111,7 @@ def cmd_mem(args) -> int:
                                   reg2sam_records)
     from .engine.finalize import mark_primary_se
     from .engine import finalize as finalize_mod
-    from .api.options import MEM_F_PRIMARY5
+    from .api.options import MEM_F_PRIMARY5, MEM_F_SMARTPE
     from .engine import pair as pair_mod
     from .utils.encoding import seq_to_codes
     from .utils.fastq import read_fastx
@@ -152,20 +170,35 @@ def cmd_mem(args) -> int:
     out = sys.stdout
     out.write(sam_header(index._require().idx.bns.anns))
     eng = index._require()
-    paired = args.mates is not None
+    smart = bool(getattr(args, "smart_pairing", False))
+    if smart and args.mates is not None:
+        print("[bwamem_tpu] -p takes ONE interleaved file; ignoring mates "
+              "argument (bwa mem -p semantics)", file=sys.stderr)
+        args.mates = None
+    paired = args.mates is not None or smart
     if paired:
         aligner.align_pairs()
+        if smart:
+            opt.flag |= MEM_F_SMARTPE
         if args.insert_mean is not None:
             aligner.set_proper_pair_end_stats(
                 BwaMemPairEndStats.of(args.insert_mean, args.insert_std)
             )
-        it1 = _take_shard(read_fastx(args.reads))
-        it2 = _take_shard(read_fastx(args.mates))
+        if smart:
+            # shard by PAIR ordinal so mates never split across shards
+            pair_src = (
+                p for j, p in enumerate(_interleaved_pairs(read_fastx(args.reads)))
+                if j % shard_n == shard_i
+            )
+        else:
+            it1 = _take_shard(read_fastx(args.reads))
+            it2 = _take_shard(read_fastx(args.mates))
+            pair_src = zip(it1, it2)
         if args.chunk_size:
             opt.chunk_size = args.chunk_size
         chunk_bases = opt.chunk_size * max(opt.n_threads, 1)
         n_done = 0
-        for batch in _chunker((it1, it2), chunk_bases, paired=True):
+        for batch in _chunker(pair_src, chunk_bases, paired=True):
             reads = []
             for r1, r2 in batch:
                 reads.append(r1)
@@ -255,6 +288,11 @@ def main(argv=None) -> int:
     p_mem.add_argument("reference", help="index image (or FASTA to auto-index)")
     p_mem.add_argument("reads")
     p_mem.add_argument("mates", nargs="?", default=None)
+    p_mem.add_argument(
+        "-p", "--smart-pairing", action="store_true",
+        help="smart pairing: the reads file is interleaved paired-end "
+             "(bwa mem -p / MEM_F_SMARTPE); a mates file is ignored",
+    )
     p_mem.add_argument("-T", type=int, default=None, help="score threshold")
     p_mem.add_argument("-k", type=int, default=None, help="min seed length")
     p_mem.add_argument(

@@ -21,6 +21,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <string>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace tail {
 
@@ -1307,7 +1310,16 @@ void bwamem_pipeline_batch(
     const char* e = getenv("BWAMEM_TPU_WAVE_TAIL");
     return e && e[0] == '1';
   }();
-  const int64_t BLK = 64;
+  int64_t BLK = 64;
+#ifdef _OPENMP
+  if (!wave_tail) {
+    // small batches: shrink blocks so every thread stays busy and one slow
+    // read cannot serialize a whole 64-read block (r03 advisor finding)
+    const int64_t nt = omp_get_max_threads();
+    if (n_reads < BLK * 4 * nt)
+      BLK = std::max<int64_t>(1, n_reads / (4 * nt));
+  }
+#endif
   const int64_t n_blk = (n_reads + BLK - 1) / BLK;
 #pragma omp parallel
   {

@@ -133,14 +133,33 @@ def looks_like_bwa_image(path: str) -> bool:
 
 
 def read_bwa_image(path: str) -> BwaIndex:
-    """Open a reference-produced ``.img`` blob (bwa_mem2idx semantics)."""
+    """Open a reference-produced ``.img`` blob (bwa_mem2idx semantics).
+
+    A malformed or truncated blob (a corrupted GATK image) raises the
+    typed InvalidFileFormatException — never a bare numpy/struct error
+    (image validation contract, BwaMemIndex.java:232-249).
+    """
     try:
         mem = np.fromfile(path, dtype=np.uint8)
     except OSError as exc:
         raise CouldNotReadImageException(path, str(exc)) from exc
     buf = mem.tobytes()
-    if len(buf) < BWT_T_SIZE + BNTSEQ_T_SIZE:
-        raise InvalidFileFormatException(path, "truncated bwa image")
+
+    def need(cond, msg):
+        if not cond:
+            raise InvalidFileFormatException(path, f"bwa image {msg}")
+
+    need(len(buf) >= BWT_T_SIZE + BNTSEQ_T_SIZE, "truncated")
+    try:
+        return _parse_bwa_image(buf, need)
+    except InvalidFileFormatException:
+        raise
+    except (struct.error, ValueError, IndexError, OverflowError,
+            MemoryError, UnicodeDecodeError) as exc:
+        raise InvalidFileFormatException(path, f"malformed: {exc}") from exc
+
+
+def _parse_bwa_image(buf: bytes, need) -> BwaIndex:
     k = 0
     primary = struct.unpack_from("<Q", buf, 0)[0]
     L2 = np.asarray(struct.unpack_from("<5Q", buf, 8), dtype=np.int64)
@@ -148,20 +167,34 @@ def read_bwa_image(path: str) -> BwaIndex:
     bwt_size = struct.unpack_from("<Q", buf, 56)[0]
     sa_intv = struct.unpack_from("<i", buf, 1096)[0]
     n_sa = struct.unpack_from("<Q", buf, 1104)[0]
+    need(0 < seq_len < (1 << 40), "seq_len out of range")
+    need(L2[0] == 0 and L2[4] == seq_len, "L2 inconsistent")
+    need(all(L2[i] <= L2[i + 1] for i in range(4)), "L2 not monotone")
+    need(primary <= seq_len, "primary out of range")
+    need(sa_intv > 0, "sa_intv not positive")
     k = BWT_T_SIZE
+    need(bwt_size * 4 + k <= len(buf), "bwt body truncated")
+    need(bwt_size * 16 >= seq_len, "bwt_size too small for seq_len")
     words = np.frombuffer(buf, dtype="<u4", count=bwt_size, offset=k).copy()
     k += bwt_size * 4
+    need(n_sa > 0 and k + n_sa * 8 <= len(buf), "sampled SA truncated")
     sa = (
         np.frombuffer(buf, dtype="<u8", count=n_sa, offset=k)
         .astype(np.int64, copy=True)
     )
     sa[0] = -1  # stored as (bwtint_t)-1
     k += n_sa * 8
+    need(k + BNTSEQ_T_SIZE <= len(buf), "bntseq header truncated")
     l_pac = struct.unpack_from("<q", buf, k)[0]
     n_seqs = struct.unpack_from("<i", buf, k + 8)[0]
     seed = struct.unpack_from("<I", buf, k + 12)[0]
     n_holes = struct.unpack_from("<i", buf, k + 24)[0]
     k += BNTSEQ_T_SIZE
+    need(l_pac > 0 and 2 * l_pac == seq_len, "l_pac/seq_len mismatch")
+    need(n_seqs > 0, "n_seqs not positive")
+    need(n_holes >= 0, "n_holes negative")
+    need(k + n_holes * BNTAMB1_T_SIZE + n_seqs * BNTANN1_T_SIZE <= len(buf),
+         "ann/amb records truncated")
     bns = Bntseq(l_pac=l_pac, seed=seed)
     for _ in range(n_holes):
         off = struct.unpack_from("<q", buf, k)[0]
@@ -179,10 +212,12 @@ def read_bwa_image(path: str) -> BwaIndex:
         ann_meta.append((off, ln, n_ambs, gi, is_alt))
         k += BNTANN1_T_SIZE
     for off, ln, n_ambs, gi, is_alt in ann_meta:
-        end = buf.index(b"\x00", k)
+        end = buf.find(b"\x00", k)
+        need(end >= 0, "contig name strings truncated")
         name = buf[k:end].decode()
         k = end + 1
-        end = buf.index(b"\x00", k)
+        end = buf.find(b"\x00", k)
+        need(end >= 0, "contig anno strings truncated")
         anno = buf[k:end].decode()
         k = end + 1
         if anno == "(null)":
@@ -192,16 +227,14 @@ def read_bwa_image(path: str) -> BwaIndex:
                    n_ambs=n_ambs, gi=gi, is_alt=is_alt)
         )
     n_pac_img = l_pac // 4 + 1
-    if k + n_pac_img > len(buf):
-        raise InvalidFileFormatException(path, "bwa image pac truncated")
+    need(k + n_pac_img <= len(buf), "pac truncated")
     n_pac = (l_pac + 3) >> 2
     pac = np.frombuffer(buf, dtype=np.uint8, count=n_pac, offset=k).copy()
     bwt = BwtIndex(
         primary=primary, L2=L2, seq_len=seq_len, bwt=words,
         sa_intv=sa_intv, sa=sa,
     )
-    if bwt.n_sa != n_sa:
-        raise InvalidFileFormatException(path, "bwa image n_sa inconsistent")
+    need(bwt.n_sa == n_sa, "n_sa inconsistent")
     return BwaIndex(bns=bns, pac=pac, bwt=bwt)
 
 

@@ -53,6 +53,21 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -(1 << 30)  # plain int: jnp scalars would be captured consts
 
 
+def packed_qpow_bound(Q: int, max_sc: int):
+    """(qpow, ok) for the fused (score*qpow + col) row reduction.
+
+    Computed from the 8-padded query width the kernel actually runs with,
+    so the routing guard (extend_tpu._pallas_wave_ok) and the kernel's
+    assert test the SAME int32-overflow condition (r03 advisor finding).
+    """
+    Qp = -(-max(Q, 1) // 8) * 8
+    qpow = 1
+    while qpow < max(Qp, 2):
+        qpow <<= 1
+    ok = (2 * Q * max(max_sc, 1) + 65536) * qpow < (1 << 31)
+    return qpow, ok
+
+
 def _sub_prefix_max(A, row, Q):
     """P[q] = max_{k<=q} A[k] along the sublane axis (log-step doubling)."""
     P = A
@@ -301,12 +316,10 @@ def ksw_extend_pallas(
     tseq_t = jnp.zeros((Tp, Bp), jnp.int32).at[:T, :B].set(
         tseq.astype(jnp.int32).T
     )
-    qpow = 1
-    while qpow < max(Qp, 2):
-        qpow <<= 1
+    qpow, pack_ok = packed_qpow_bound(Q, max_sc)
     # packed (score*qpow + col) row reduction must stay inside int32: score
     # is bounded by 2*Q*max_sc + max h0/bonus headroom
-    assert (2 * Q * max(max_sc, 1) + 65536) * qpow < (1 << 31), (Q, max_sc)
+    assert pack_ok, (Q, max_sc)
     kernel = partial(
         _extend_kernel, Q=Qp, T=Tp, o_del=o_del, e_del=e_del, o_ins=o_ins,
         e_ins=e_ins, zdrop=zdrop, qpow=qpow,

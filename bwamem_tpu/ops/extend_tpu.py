@@ -225,10 +225,9 @@ def _pallas_wave_ok(Q: int, max_sc: int) -> bool:
     outside that domain (huge queries x huge match scores) fall back."""
     import os
 
-    qpow = 1
-    while qpow < max(Q, 2):
-        qpow <<= 1
-    if (2 * Q * max(max_sc, 1) + 65536) * qpow >= (1 << 31):
+    from .extend_pallas import packed_qpow_bound
+
+    if not packed_qpow_bound(Q, max_sc)[1]:
         return False
     ov = os.environ.get("BWAMEM_TPU_EXTEND_KERNEL")
     if ov == "pallas":

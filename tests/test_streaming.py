@@ -78,7 +78,7 @@ def test_chunks_group_by_bases_and_keep_pairs(fastqs):
 
     it1 = iter([R(100)] * 10)
     it2 = iter([R(100)] * 10)
-    chunks = list(_chunker((it1, it2), 500, paired=True))
+    chunks = list(_chunker(zip(it1, it2), 500, paired=True))
     # 200 bases/pair, 500-base chunks -> ceil: 3 pairs per chunk
     assert [len(c) for c in chunks] == [3, 3, 3, 1]
     total = sum(len(c) for c in chunks)
