@@ -180,8 +180,9 @@ def main():
             def run():
                 def body(_, c):
                     cnt = occ4_device(
-                        dfm.ckpt, dfm.words, dfm.L2,
+                        dfm.lines, dfm.L2,
                         ks + jnp.minimum(c, 0), dfm.primary, dfm.seq_len,
+                        dfm.span,
                     )
                     return c + cnt[0, 0]
                 return jax.lax.fori_loop(0, K, body, jnp.int32(0))
@@ -189,10 +190,13 @@ def main():
 
         dt = slope_time(make_occ, 4, 64)
         qps = NQ / dt
-        # each query gathers one ckpt row (16B) + one words row (32B)
+        # each query gathers one fused line (4 count + span/16 word u32s)
         results[f"occ4_{NQ}_dev_ms"] = round(dt * 1e3, 4)
         results[f"occ4_{NQ}_dev_mquery_s"] = round(qps / 1e6, 2)
-        results[f"occ4_{NQ}_hbm_frac"] = round(qps * 48 / HBM_BYTES_S, 4)
+        line_bytes = 4 * (4 + dfm.span // 16)
+        results[f"occ4_{NQ}_hbm_frac"] = round(
+            qps * line_bytes / HBM_BYTES_S, 4
+        )
         print(f"occ4 N={NQ}: {dt*1e3:8.4f} ms/iter  {qps/1e6:8.1f} Mq/s",
               flush=True)
 
@@ -211,9 +215,9 @@ def main():
         def run():
             def body(_, c):
                 ret, *_rest, m_cnt, ovf = smem1a_batch_kernel(
-                    dfm.ckpt, dfm.words, dfm.L2, qs, qls,
+                    dfm.lines, dfm.L2, qs, qls,
                     xs + jnp.minimum(c, 0), jnp.ones(B2, jnp.int32),
-                    dfm.primary, dfm.seq_len,
+                    dfm.primary, dfm.seq_len, dfm.span,
                 )
                 return c + ret[0]
             return jax.lax.fori_loop(0, K, body, jnp.int32(0))
@@ -234,9 +238,9 @@ def main():
         def run():
             def body(_, c):
                 res = sa_lookup_kernel(
-                    dfm.ckpt, dfm.words, dfm.L2, dfm.sa,
+                    dfm.lines, dfm.L2, dfm.sa,
                     jnp.clip(krows + jnp.minimum(c, 0), 1, fm.seq_len - 1),
-                    dfm.primary, dfm.seq_len, dfm.sa_intv,
+                    dfm.primary, dfm.seq_len, dfm.sa_intv, dfm.span,
                 )
                 return c + jnp.maximum(res[0], 0).astype(jnp.int32)
             return jax.lax.fori_loop(0, K, body, jnp.int32(0))

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..api.options import MemOptions
 from ..ops.fmindex_tpu import DeviceFMIndex
-from ..ops.seed_tpu import seed_strategy1_batch
+from ..ops.seed_tpu import seed_strategy1
 from ..ops.smem_tpu import smem1a_batch
 from .fmindex import FMIndex
 from .seed import SmemIntv, collect_intv
@@ -51,10 +51,8 @@ def _get_dfm(fm: FMIndex, mesh=None) -> DeviceFMIndex:
 
             from ..parallel.mesh import replicate
 
-            ckpt, words, L2, sa = replicate(
-                mesh, dfm.ckpt, dfm.words, dfm.L2, dfm.sa
-            )
-            dfm = _replace(dfm, ckpt=ckpt, words=words, L2=L2, sa=sa)
+            lines, L2, sa = replicate(mesh, dfm.lines, dfm.L2, dfm.sa)
+            dfm = _replace(dfm, lines=lines, L2=L2, sa=sa)
         cache[mesh] = dfm
     return dfm
 
@@ -195,11 +193,11 @@ def collect_intv_batch_device(
             active = x < qlen
             if not active.any():
                 break
-            found, fx0, fx1, fs, _qb, fqe, nxt = seed_strategy1_batch(
-                dfm.ckpt, dfm.words, dfm.L2, qseq,
+            found, fx0, fx1, fs, _qb, fqe, nxt = seed_strategy1(
+                dfm, qseq,
                 place(qlen, np.int32),
                 place(x, np.int32),
-                dfm.primary, dfm.seq_len, opt.min_seed_len,
+                opt.min_seed_len,
                 int(opt.max_mem_intv),
             )
             found = np.asarray(found)

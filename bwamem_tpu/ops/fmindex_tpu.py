@@ -1,18 +1,29 @@
 """Device-resident FM-index: batched Occ rank queries on TPU.
 
 TPU-native replacement for the reference's hot loop #1 — the memory-bound
-random Occ() lookups of [EXT] bwt.c's backward search (SURVEY.md 3.3).  The
-checkpointed BWT lives in HBM as two flat arrays (counts + packed words);
-a batch of N rank queries becomes two gathers plus SWAR popcounts on the
-VPU — no scalar loops.
+random Occ() lookups of [EXT] bwt.c's backward search (SURVEY.md 3.3).
 
-int32 domain: positions/counts fit int32 for references up to ~1 Gbp
-(seq_len = 2*l_pac < 2^31), which covers every per-chip shard we target;
-whole-genome/pangenome scale shards the occ table across devices
-(occ4_sharded) so each shard stays in the int32 domain.
+Layout (r04): ONE fused line per checkpoint block — `lines[b] =
+[count_A..count_T (4 x u32), packed BWT words (span/16 x u32)]` — so a
+rank query is a SINGLE row gather plus SWAR popcounts on the VPU.  The
+r03 two-array layout (separate ckpt[idx] + words[idx] gathers) measured
+1.5% of HBM peak on-chip; the v5e gather probe (benchmarks/
+gather_probe.py) showed XLA's gather cost is per-ROW, not per-byte, and a
+fused single-line gather runs ~23x faster.  `span` (chars per line) is a
+power-of-two multiple of the host oracle's 128-char blocks.
+
+Coordinate domain: row indices / interval bounds use int32 for references
+under 2 Gbp of doubled sequence and int64 above (bwa's 64-bit bwtint_t,
+[EXT] bwt.h) — GRCh38-scale references ride the same kernels with the
+wider coordinate dtype (arrays are created and kernels traced under
+jax.experimental.enable_x64).  Block indices, within-block offsets and
+per-symbol counts always fit int32 (per-symbol counts < 2^31 even at
+6.2e9 rows; asserted at load).  Sharding the line table across devices
+(make_occ4_sharded) additionally serves pangenome-scale indexes.
 """
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 from functools import partial
 
@@ -23,34 +34,73 @@ import numpy as np
 from ..engine.fmindex import FMIndex
 
 
+def _x64_ctx(enable: bool):
+    """Trace/creation context for the int64 coordinate domain."""
+    if enable:
+        return jax.enable_x64(True)
+    return contextlib.nullcontext()
+
+
 @dataclass(frozen=True)
 class DeviceFMIndex:
-    """FM-index arrays on device + static scalars."""
+    """FM-index on device: fused occ lines + sampled SA + static scalars."""
 
-    ckpt: jax.Array  # [nb+1, 4] int32 counts before each 128-char block
-    words: jax.Array  # [nb, 8] uint32, 16 chars per word, MSB-first
-    L2: jax.Array  # [5] int32
-    sa: jax.Array  # [n_sa] int32 sampled suffix array (sa[0] == -1)
+    lines: jax.Array  # [nb, 4 + span//16] uint32 fused counts+words rows
+    L2: jax.Array  # [5] coord dtype (int32 / int64)
+    sa: jax.Array  # [n_sa] coord dtype, sampled suffix array (sa[0] == -1)
     primary: int
     seq_len: int
     sa_intv: int
+    span: int  # chars per line; power-of-two multiple of 128
+
+    @property
+    def coord_dtype(self):
+        return self.L2.dtype
+
+    @property
+    def big(self) -> bool:
+        return self.L2.dtype == jnp.int64
+
+    def ctx(self):
+        """Context manager under which the int64-domain kernels trace."""
+        return _x64_ctx(self.big)
 
     @classmethod
-    def from_host(cls, fm: FMIndex) -> "DeviceFMIndex":
-        if fm.seq_len >= (1 << 31):
+    def from_host(
+        cls, fm: FMIndex, span: int = 128, force_big: bool = False
+    ) -> "DeviceFMIndex":
+        """force_big traces the int64 kernels on a small index (tests)."""
+        if span % 128 or span & (span - 1):
+            raise ValueError("span must be a power-of-two multiple of 128")
+        per_sym = np.diff(np.asarray(fm.L2).astype(np.int64))
+        if (per_sym >= (1 << 31)).any():
             raise ValueError(
-                "reference too large for the int32 device domain; shard the "
-                "occ table across devices (parallel/) instead"
+                "per-symbol occ counts exceed int32; shard the occ table "
+                "across devices (make_occ4_sharded) instead"
             )
-        return cls(
-            ckpt=jnp.asarray(fm.ckpt.astype(np.int32)),
-            words=jnp.asarray(fm.words.astype(np.uint32)),
-            L2=jnp.asarray(fm.L2.astype(np.int32)),
-            sa=jnp.asarray(fm.sa.astype(np.int32)),
-            primary=int(fm.primary),
-            seq_len=int(fm.seq_len),
-            sa_intv=int(fm.sa_intv),
+        big = force_big or fm.seq_len >= (1 << 31)
+        m = span // 128
+        nb128 = fm.words.shape[0]
+        nb = -(-fm.seq_len // span) or 1
+        counts = np.ascontiguousarray(
+            fm.ckpt[: nb * m : m].astype(np.uint32)
         )
+        words = np.zeros((nb * m, 8), dtype=np.uint32)
+        words[:nb128] = fm.words
+        lines = np.concatenate(
+            [counts, words.reshape(nb, 8 * m)], axis=1
+        )
+        cdt = np.int64 if big else np.int32
+        with _x64_ctx(big):
+            return cls(
+                lines=jnp.asarray(lines),
+                L2=jnp.asarray(np.asarray(fm.L2, dtype=cdt)),
+                sa=jnp.asarray(fm.sa.astype(cdt)),
+                primary=int(fm.primary),
+                seq_len=int(fm.seq_len),
+                sa_intv=int(fm.sa_intv),
+                span=span,
+            )
 
 
 _M55 = jnp.uint32(0x55555555)
@@ -65,16 +115,15 @@ def _popcount32(x):
     return (x * jnp.uint32(0x01010101)) >> jnp.uint32(24)
 
 
-def _block_counts4(words, nchars):
-    """Counts of all 4 symbols among the first nchars chars of each block.
+def _keep_masks(nw: int, nchars):
+    """Per-word masks selecting each word's first chars up to nchars total.
 
-    words: [N, 8] uint32; nchars: [N] int32 in [0, 128].  Returns [N, 4].
-    The four symbol counts come from two bit-planes: for char code c =
-    2*hi + lo, count via popcount of plane masks.
+    nchars: [N] int32 in [0, 16*nw].  Returns [N, nw] uint32 with the
+    2-bit slots of counted chars set (aligned to the LOW bit of each
+    pair, i.e. matching the _M55 plane convention).
     """
-    n = words.shape[0]
-    word_base = (jnp.arange(8, dtype=jnp.int32) * 16)[None, :]
-    valid = jnp.clip(nchars[:, None] - word_base, 0, 16).astype(jnp.uint32)  # [N,8]
+    word_base = (jnp.arange(nw, dtype=jnp.int32) * 16)[None, :]
+    valid = jnp.clip(nchars[:, None] - word_base, 0, 16).astype(jnp.uint32)
     shift = jnp.uint32(32) - jnp.uint32(2) * valid
     full = jnp.uint32(0xFFFFFFFF)
     keep = jnp.where(
@@ -82,37 +131,67 @@ def _block_counts4(words, nchars):
         jnp.uint32(0),
         (full << jnp.minimum(shift, jnp.uint32(31))).astype(jnp.uint32),
     )
-    keep = jnp.where(valid == 16, full, keep)
-    # char j occupies bits {31-2j (hi), 30-2j (lo)}; align planes to the low
-    # bit of each pair so masks line up with `keep`'s per-char bit at 30-2j
-    hi = (words >> jnp.uint32(1)) & _M55  # hi bit at position 30-2j
+    return jnp.where(valid == 16, full, keep) & _M55
+
+
+def _block_counts4(words, nchars):
+    """Counts of all 4 symbols among the first nchars chars of each block.
+
+    words: [N, nw] uint32; nchars: [N] int32 in [0, 16*nw].  Returns
+    [N, 4] int32.  char j of word w occupies bits {31-2j (hi), 30-2j
+    (lo)}; both planes align to the low bit so masks line up.
+    """
+    keep = _keep_masks(words.shape[1], nchars)
+    hi = (words >> jnp.uint32(1)) & _M55
     lo = words & _M55
     out = []
     for c in range(4):
         hi_m = hi if (c >> 1) else (~hi & _M55)
         lo_m = lo if (c & 1) else (~lo & _M55)
-        sel = hi_m & lo_m & (keep & _M55)
+        sel = hi_m & lo_m & keep
         out.append(jnp.sum(_popcount32(sel), axis=1).astype(jnp.int32))
     return jnp.stack(out, axis=1)  # [N, 4]
 
 
-@partial(jax.jit, static_argnames=("primary", "seq_len"))
-def occ4_device(ckpt, words, L2, k, primary: int, seq_len: int):
+def _block_count1(words, nchars, c):
+    """Count of per-row symbol c [N] among the first nchars chars."""
+    keep = _keep_masks(words.shape[1], nchars)
+    hi = (words >> jnp.uint32(1)) & _M55
+    lo = words & _M55
+    chi = (c[:, None] >> 1).astype(jnp.uint32)
+    clo = (c[:, None] & 1).astype(jnp.uint32)
+    hi_m = jnp.where(chi != 0, hi, ~hi & _M55)
+    lo_m = jnp.where(clo != 0, lo, ~lo & _M55)
+    sel = hi_m & lo_m & keep
+    return jnp.sum(_popcount32(sel), axis=1).astype(jnp.int32)
+
+
+def _rows_for(lines, k, primary, span: int):
+    """Fused-line row + inclusive char count for conceptual positions k.
+
+    Returns (row [N, W] u32, within [N] int32 = chars of the block counted
+    through k).  Callers handle the k == -1 / k == seq_len sentinels.
+    """
+    kk = k - (k >= primary).astype(k.dtype)
+    kk = jnp.clip(kk, 0, None)
+    lg = span.bit_length() - 1
+    block = (kk >> lg).astype(jnp.int32)
+    within = (kk & (span - 1)).astype(jnp.int32) + 1
+    return lines[block], within
+
+
+@partial(jax.jit, static_argnames=("primary", "seq_len", "span"))
+def occ4_device(lines, L2, k, primary: int, seq_len: int, span: int):
     """bwa bwt_occ4 semantics for a batch of conceptual positions k [N].
 
     Counts of each symbol among conceptual BWT chars [0..k] inclusive;
-    k == -1 -> 0, k == seq_len -> full counts.
+    k == -1 -> 0, k == seq_len -> full counts.  Returns [N, 4] int32.
     """
-    k = k.astype(jnp.int32)
     is_all = k == seq_len
     is_none = k == -1
-    kk = k - (k >= primary).astype(jnp.int32)
-    kk = jnp.clip(kk, 0, None)
-    block = kk >> 7
-    within = (kk & 127) + 1
-    base = ckpt[block]  # [N, 4] gather
-    w = words[block]  # [N, 8] gather
-    cnt = base + _block_counts4(w, within)
+    row, within = _rows_for(lines, k, primary, span)
+    base = jax.lax.bitcast_convert_type(row[:, :4], jnp.int32)
+    cnt = base + _block_counts4(row[:, 4:], within)
     full = (L2[1:5] - L2[0:4])[None, :].astype(jnp.int32)
     cnt = jnp.where(is_all[:, None], full, cnt)
     cnt = jnp.where(is_none[:, None], 0, cnt)
@@ -120,25 +199,24 @@ def occ4_device(ckpt, words, L2, k, primary: int, seq_len: int):
 
 
 def occ4(dfm: DeviceFMIndex, k) -> jax.Array:
-    return occ4_device(
-        dfm.ckpt, dfm.words, dfm.L2, jnp.asarray(k), dfm.primary, dfm.seq_len
-    )
+    with dfm.ctx():
+        return occ4_device(
+            dfm.lines, dfm.L2, jnp.asarray(k).astype(dfm.coord_dtype),
+            dfm.primary, dfm.seq_len, dfm.span,
+        )
 
 
-@partial(jax.jit, static_argnames=("primary", "seq_len", "is_back"))
-def extend_device(ckpt, words, L2, x0, x1, s, primary: int, seq_len: int, is_back: bool):
-    """Batched bidirectional bwt_extend; mirrors FMIndex.extend exactly.
-
-    Returns (ox0, ox1, sz) of shape [N, 4], indexed by queried-space symbol
-    (bwa ok[] convention — see engine/fmindex.py docstring).
-    """
+def _extend_core(lines, L2, x0, x1, s, primary, seq_len, span, is_back):
+    """Shared bwt_extend body: ONE fused gather for both rank queries."""
     xq = x0 if is_back else x1
     xo = x1 if is_back else x0
-    tk = occ4_device(ckpt, words, L2, xq - 1, primary, seq_len)
-    tl = occ4_device(ckpt, words, L2, xq - 1 + s, primary, seq_len)
-    new_q = L2[None, :4].astype(jnp.int32) + 1 + tk
+    n = xq.shape[0]
+    ks = jnp.concatenate([xq - 1, xq - 1 + s.astype(xq.dtype)])
+    both = occ4_device(lines, L2, ks, primary, seq_len, span)
+    tk, tl = both[:n], both[n:]
+    new_q = L2[None, :4] + 1 + tk
     sz = tl - tk
-    has_sent = ((xq <= primary) & (xq + s - 1 >= primary)).astype(jnp.int32)
+    has_sent = ((xq <= primary) & (xq + s - 1 >= primary)).astype(xq.dtype)
     o3 = xo + has_sent
     o2 = o3 + sz[:, 3]
     o1 = o2 + sz[:, 2]
@@ -149,32 +227,47 @@ def extend_device(ckpt, words, L2, x0, x1, s, primary: int, seq_len: int, is_bac
     return new_o, new_q, sz
 
 
-def make_occ4_sharded(mesh, axis: str):
-    """Occ4 with the checkpoint/word tables sharded across `axis`.
+@partial(jax.jit, static_argnames=("primary", "seq_len", "span", "is_back"))
+def extend_device(
+    lines, L2, x0, x1, s, primary: int, seq_len: int, span: int, is_back: bool
+):
+    """Batched bidirectional bwt_extend; mirrors FMIndex.extend exactly.
 
-    Each device holds a contiguous slice of blocks; queries are replicated,
-    each shard answers the ones whose block it owns, and a psum merges.
-    This is the pangenome-scale layout from SURVEY.md section 5 (sharded occ
-    tables; collectives ride ICI).
+    Returns (ox0, ox1, sz): ox* [N, 4] coord dtype indexed by queried-space
+    symbol (bwa ok[] convention — see engine/fmindex.py docstring), sz
+    [N, 4] int32.
+    """
+    return _extend_core(lines, L2, x0, x1, s, primary, seq_len, span, is_back)
+
+
+def make_occ4_sharded(mesh, axis: str):
+    """Occ4 with the fused line table sharded across `axis`.
+
+    Each device holds a contiguous slice of lines; queries are replicated,
+    each shard answers the ones whose line it owns, and a psum merges.
+    This is the pangenome-scale layout from SURVEY.md section 5 (sharded
+    occ tables; collectives ride ICI).
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    def _sharded(ckpt, words, L2, k, primary, seq_len, blocks_per_shard):
-        def body(ckpt_s, words_s, L2_f, k_f):
+    def _sharded(lines, L2, k, primary, seq_len, span, blocks_per_shard):
+        lg = int(span).bit_length() - 1
+
+        def body(lines_s, L2_f, k_f):
             shard = jax.lax.axis_index(axis)
-            lo = shard * blocks_per_shard
-            kk = k_f - (k_f >= primary).astype(jnp.int32)
+            lo = (shard * blocks_per_shard).astype(k_f.dtype)
+            kk = k_f - (k_f >= primary).astype(k_f.dtype)
             kk = jnp.clip(kk, 0, None)
-            block = kk >> 7
-            mine = (block >= lo) & (block < lo + ckpt_s.shape[0])
-            local_block = jnp.clip(block - lo, 0, ckpt_s.shape[0] - 1)
-            within = (kk & 127) + 1
-            base = ckpt_s[local_block]
-            w = jnp.where(
-                mine[:, None], words_s[jnp.clip(local_block, 0, words_s.shape[0] - 1)], 0
+            block = kk >> lg
+            mine = (block >= lo) & (block < lo + lines_s.shape[0])
+            local = jnp.clip(block - lo, 0, lines_s.shape[0] - 1).astype(
+                jnp.int32
             )
-            cnt = base + _block_counts4(w, within)
+            within = (kk & (span - 1)).astype(jnp.int32) + 1
+            row = jnp.where(mine[:, None], lines_s[local], jnp.uint32(0))
+            base = jax.lax.bitcast_convert_type(row[:, :4], jnp.int32)
+            cnt = base + _block_counts4(row[:, 4:], within)
             cnt = jnp.where(mine[:, None], cnt, 0)
             cnt = jax.lax.psum(cnt, axis)
             full = (L2_f[1:5] - L2_f[0:4])[None, :].astype(jnp.int32)
@@ -185,58 +278,130 @@ def make_occ4_sharded(mesh, axis: str):
         return shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None), P(), P()),
+            in_specs=(P(axis, None), P(), P()),
             out_specs=P(),
-        )(ckpt, words, L2, k)
+        )(lines, L2, k)
 
     return _sharded
 
 
-@partial(jax.jit, static_argnames=("primary", "seq_len", "sa_intv"))
+# ---------------------------------------------------------------------------
+# sampled-SA resolution ([EXT] bwt_sa)
+# ---------------------------------------------------------------------------
+
+
+def _sa_tick(lines, L2, k, steps, act, primary, span):
+    """One LF step for active lanes: ONE fused gather serves both the BWT
+    char at k and the inclusive occ count (same line: for k != primary the
+    char offset is the count offset minus one, and k == primary lanes are
+    overridden to row 0)."""
+    at_p = k == primary
+    row, within = _rows_for(lines, k, primary, span)
+    # char at conceptual k (strictly-greater shift; within-1 of the
+    # inclusive count offset — identical row except at k == primary,
+    # where the result is masked anyway)
+    wc = within - 1
+    word = jnp.take_along_axis(row, 4 + (wc >> 4)[:, None], axis=1)[:, 0]
+    shift = (jnp.uint32(30) - jnp.uint32(2) * (wc & 15).astype(jnp.uint32))
+    c = ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
+    base = jax.lax.bitcast_convert_type(row[:, :4], jnp.int32)
+    cnt = jnp.take_along_axis(base, c[:, None], axis=1)[:, 0] + _block_count1(
+        row[:, 4:], within, c
+    )
+    nk = L2[c] + cnt.astype(k.dtype)
+    nk = jnp.where(at_p, 0, nk)
+    k = jnp.where(act, nk, k)
+    steps = steps + act.astype(jnp.int32)
+    return k, steps
+
+
+@partial(jax.jit, static_argnames=("primary", "seq_len", "sa_intv", "span"))
 def sa_lookup_kernel(
-    ckpt, words, L2, sa, k, primary: int, seq_len: int, sa_intv: int
+    lines, L2, sa, k, primary: int, seq_len: int, sa_intv: int, span: int
 ):
     """Sampled-SA resolution for a batch of conceptual rows ([EXT] bwt_sa).
 
-    Each row walks k -> LF(k) until it hits a sampled row; the walks run in
-    lockstep (one occ4 gather batch per tick), so the batch costs
-    max-steps ticks instead of sum-of-steps serial chases — the device
-    analog of the native lane-interleaved walker (fmindex.cpp
-    bwamem_sa_batch).  sa[0] == -1 is load-bearing exactly as in the host
-    oracle (engine/fmindex.py:247-251).
-    """
-    k = k.astype(jnp.int32)
-    lane = jnp.arange(k.shape[0])
-    steps = jnp.zeros_like(k)
+    Each row walks k -> LF(k) until it hits a sampled row.  The walk runs
+    as a compaction ladder: fixed lockstep rounds over the full batch,
+    then the still-unfinished lanes are packed (stable cumsum partition)
+    into a quarter-width array, repeatedly, so total gather work tracks
+    SUM of steps instead of lockstep's MAX x batch.  sa[0] == -1 is
+    load-bearing exactly as in the host oracle (engine/fmindex.py)."""
+    B = k.shape[0]
+    steps = jnp.zeros(B, jnp.int32)
 
-    def cond(st):
-        k, _ = st
-        return ((k % sa_intv) != 0).any()
+    def run_fori(nt, k, steps):
+        def body(_, st):
+            k, steps = st
+            act = (k % sa_intv) != 0
+            return _sa_tick(lines, L2, k, steps, act, primary, span)
 
-    def body(st):
-        k, steps = st
-        act = (k % sa_intv) != 0
-        at_p = k == primary
-        kk = jnp.clip(k - (k > primary).astype(jnp.int32), 0, None)
-        block = kk >> 7
-        within = kk & 127
-        word = words[block, within >> 4]
-        shift = (jnp.uint32(30) - jnp.uint32(2) * (within & 15).astype(jnp.uint32))
-        c = ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
-        cnt = occ4_device(ckpt, words, L2, k, primary, seq_len)
-        nk = L2[c].astype(jnp.int32) + cnt[lane, c]
-        nk = jnp.where(at_p, 0, nk)
-        k = jnp.where(act, nk, k)
-        steps = steps + act.astype(jnp.int32)
-        return k, steps
+        return jax.lax.fori_loop(0, nt, body, (k, steps))
 
-    k, steps = jax.lax.while_loop(cond, body, (k, steps))
-    return sa[k // sa_intv] + steps
+    def run_while(k, steps):
+        def cond(st):
+            return ((st[0] % sa_intv) != 0).any()
+
+        def body(st):
+            k, steps = st
+            act = (k % sa_intv) != 0
+            return _sa_tick(lines, L2, k, steps, act, primary, span)
+
+        return jax.lax.while_loop(cond, body, (k, steps))
+
+    # ladder: 2*intv lockstep ticks, then pack unfinished lanes into a
+    # B//4 slice (another fori round), then a B//16 slice run to
+    # completion — total gather work tracks SUM of steps instead of
+    # lockstep's MAX x batch.  A final full-width while_loop is the
+    # correctness net for the rare case a slice overflowed (its cond is
+    # simply false when the ladder finished everything).
+    k, steps = run_fori(2 * sa_intv, k, steps)
+    orig = jnp.arange(B, dtype=jnp.int32)
+    cur = jnp.arange(B, dtype=jnp.int32)
+    widths = [w for w in (B // 4, B // 16) if w >= 256]
+    for i, width in enumerate(widths):
+        unfin = (k % sa_intv) != 0
+        n_unfin = unfin.sum()
+        # stable partition: unfinished lanes first
+        pos = jnp.where(
+            unfin,
+            jnp.cumsum(unfin.astype(jnp.int32)) - 1,
+            n_unfin + jnp.cumsum((~unfin).astype(jnp.int32)) - 1,
+        )
+        # gather index: new slot p takes the current slot i with pos[i]==p
+        order = jnp.zeros(B, jnp.int32).at[pos].set(cur)
+        k = k[order]
+        steps = steps[order]
+        orig = orig[order]
+        last = i == len(widths) - 1
+
+        def stage(kw, sw, last=last):
+            kw, sw = run_fori(2 * sa_intv, kw, sw)
+            if last:
+                kw, sw = run_while(kw, sw)
+            return kw, sw
+
+        fits = n_unfin <= width
+        k_sub, s_sub = jax.lax.cond(
+            fits,
+            stage,
+            lambda a, b: (a, b),
+            k[:width], steps[:width],
+        )
+        k = k.at[:width].set(k_sub)
+        steps = steps.at[:width].set(s_sub)
+    # safety net: finish any stragglers at full width
+    k, steps = run_while(k, steps)
+    out = sa[(k // sa_intv).astype(jnp.int32)] + steps.astype(k.dtype)
+    # un-permute to input order
+    return jnp.zeros(B, out.dtype).at[orig].set(out)
 
 
 def sa_lookup(dfm: DeviceFMIndex, k) -> jax.Array:
     """Device bwt_sa over a batch of rows; exact vs FMIndex.sa_lookup."""
-    return sa_lookup_kernel(
-        dfm.ckpt, dfm.words, dfm.L2, dfm.sa, jnp.asarray(k),
-        dfm.primary, dfm.seq_len, dfm.sa_intv,
-    )
+    with dfm.ctx():
+        return sa_lookup_kernel(
+            dfm.lines, dfm.L2, dfm.sa,
+            jnp.asarray(k).astype(dfm.coord_dtype),
+            dfm.primary, dfm.seq_len, dfm.sa_intv, dfm.span,
+        )

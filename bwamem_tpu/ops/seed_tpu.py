@@ -3,14 +3,15 @@
 Hot loop #1 of the reference engine is the memory-latency-bound random Occ
 lookup chain of backward search (SURVEY.md section 3.3).  On TPU the same
 work is a lockstep batch: every read advances one base per step, each step
-is two batched occ4 gathers over the HBM-resident index — exactly the
-access pattern ops/fmindex_tpu.py serves.
+is ONE fused occ-line gather over the HBM-resident index (the r04 layout
+of ops/fmindex_tpu.py) — exactly the access pattern that measured ~23x
+faster than the split two-array gathers (benchmarks/gather_probe.py).
 
 This module provides the device-side backward-search / forward-extension
 loops (lax.while_loop lockstep with per-lane masks).  The full three-round
-SMEM control flow stays host-side for now (its bookkeeping is branchy); the
-device loops below cover exact-match search and the LAST-like third-round
-seeding (bwt_seed_strategy1), both validated against the host oracle.
+SMEM control flow lives in ops/smem_tpu.py; the loops below cover
+exact-match search and the LAST-like third-round seeding
+(bwt_seed_strategy1), both validated against the host oracle.
 """
 from __future__ import annotations
 
@@ -19,12 +20,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .fmindex_tpu import DeviceFMIndex, occ4_device
+from .fmindex_tpu import DeviceFMIndex, _extend_core, occ4_device
 
 
-@partial(jax.jit, static_argnames=("primary", "seq_len"))
+@partial(jax.jit, static_argnames=("primary", "seq_len", "span"))
 def backward_search_batch(
-    ckpt, words, L2, qseq, qlen, primary: int, seq_len: int
+    lines, L2, qseq, qlen, primary: int, seq_len: int, span: int
 ):
     """Exact-match backward search for a batch of reads ([B, L] codes).
 
@@ -33,8 +34,9 @@ def backward_search_batch(
     how many bases matched.  bwa bwt_match_exact semantics.
     """
     B, L = qseq.shape
-    k0 = jnp.zeros(B, jnp.int32)
-    l0 = jnp.full(B, seq_len, jnp.int32)
+    cdt = L2.dtype
+    k0 = jnp.zeros(B, cdt)
+    l0 = jnp.full(B, seq_len, cdt)
 
     def cond(state):
         i, k, l, alive, _ = state
@@ -44,8 +46,11 @@ def backward_search_batch(
         i, k, l, alive, matched = state
         c = qseq[:, L - 1 - i]  # right-to-left
         valid = alive & (c < 4) & (i < qlen)
-        occ_k = occ4_device(ckpt, words, L2, k - 1, primary, seq_len)
-        occ_l = occ4_device(ckpt, words, L2, l, primary, seq_len)
+        # one fused gather answers both interval endpoints
+        both = occ4_device(
+            lines, L2, jnp.concatenate([k - 1, l]), primary, seq_len, span
+        )
+        occ_k, occ_l = both[:B], both[B:]
         cc = jnp.clip(c, 0, 3)
         sel = jnp.arange(B)
         k2 = L2[cc] + occ_k[sel, cc] + 1
@@ -66,14 +71,18 @@ def backward_search_batch(
 
 
 def backward_search(dfm: DeviceFMIndex, qseq, qlen):
-    return backward_search_batch(
-        dfm.ckpt, dfm.words, dfm.L2, qseq, qlen, dfm.primary, dfm.seq_len
-    )
+    with dfm.ctx():
+        return backward_search_batch(
+            dfm.lines, dfm.L2, qseq, qlen, dfm.primary, dfm.seq_len, dfm.span
+        )
 
 
-@partial(jax.jit, static_argnames=("primary", "seq_len", "min_len", "max_intv"))
+@partial(
+    jax.jit,
+    static_argnames=("primary", "seq_len", "span", "min_len", "max_intv"),
+)
 def seed_strategy1_batch(
-    ckpt, words, L2, qseq, qlen, x, primary: int, seq_len: int,
+    lines, L2, qseq, qlen, x, primary: int, seq_len: int, span: int,
     min_len: int, max_intv: int,
 ):
     """Device lockstep of [EXT] bwt_seed_strategy1 from start positions x.
@@ -84,12 +93,13 @@ def seed_strategy1_batch(
     nxt is the next start cursor (i+1 on hit or N, qlen at read end).
     """
     B, L = qseq.shape
+    cdt = L2.dtype
     c0 = qseq[jnp.arange(B), jnp.clip(x, 0, L - 1)]
     bad0 = (c0 > 3) | (x >= qlen)
     cc0 = jnp.clip(c0, 0, 3)
     ix0 = L2[cc0] + 1
     ix1 = L2[3 - cc0] + 1
-    isz = L2[cc0 + 1] - L2[cc0]
+    isz = (L2[cc0 + 1] - L2[cc0]).astype(jnp.int32)
 
     def cond(state):
         i, alive, *_ = state
@@ -108,21 +118,13 @@ def seed_strategy1_batch(
         nxt = jnp.where(stop_n, x + 2 + i, nxt)
         nxt = jnp.where(stop_end, qlen, nxt)
         # forward extension queries the revcomp coordinate (x1)
-        tk = occ4_device(ckpt, words, L2, x1 - 1, primary, seq_len)
-        tl = occ4_device(ckpt, words, L2, x1 - 1 + s, primary, seq_len)
-        sz = tl - tk
-        new_q = L2[None, :4].astype(jnp.int32) + 1 + tk
-        has_sent = ((x1 <= primary) & (x1 + s - 1 >= primary)).astype(jnp.int32)
-        o3 = x0 + has_sent
-        o2 = o3 + sz[:, 3]
-        o1 = o2 + sz[:, 2]
-        o0 = o1 + sz[:, 1]
-        new_o = jnp.stack([o0, o1, o2, o3], axis=1)
-        ci = 3 - jnp.clip(c, 0, 3)  # bwa's ok[] index for appending base c
-        sel = jnp.arange(B)
-        nx0 = new_o[sel, ci]
-        nx1 = new_q[sel, ci]
-        ns = sz[sel, ci]
+        new_o, new_q, sz = _extend_core(
+            lines, L2, x0, x1, s, primary, seq_len, span, is_back=False
+        )
+        ci = (3 - jnp.clip(c, 0, 3))[:, None]  # bwa ok[] index for append
+        nx0 = jnp.take_along_axis(new_o, ci, axis=1)[:, 0]
+        nx1 = jnp.take_along_axis(new_q, ci, axis=1)[:, 0]
+        ns = jnp.take_along_axis(sz, ci, axis=1)[:, 0]
         hit = valid & (ns < max_intv) & ((x + 1 + i) - x >= min_len)
         newly = hit & ~found
         found = found | newly
@@ -139,12 +141,22 @@ def seed_strategy1_batch(
         return i + 1, alive, x0, x1, s, found, fx0, fx1, fs, fqe, nxt
 
     z = jnp.zeros(B, jnp.int32)
+    zc = jnp.zeros(B, cdt)
     init = (
-        jnp.int32(0), ~bad0, ix0.astype(jnp.int32), ix1.astype(jnp.int32),
-        isz.astype(jnp.int32), jnp.zeros(B, bool), z, z, z, z,
+        jnp.int32(0), ~bad0, ix0.astype(cdt), ix1.astype(cdt),
+        isz, jnp.zeros(B, bool), zc, zc, z, z,
         (x + 1).astype(jnp.int32),
     )
     _, _, _, _, _, found, fx0, fx1, fs, fqe, nxt = jax.lax.while_loop(
         cond, body, init
     )
     return found, fx0, fx1, fs, x, fqe, nxt
+
+
+def seed_strategy1(dfm: DeviceFMIndex, qseq, qlen, x, min_len, max_intv):
+    """Strategy-1 wave on a DeviceFMIndex (handles the int64 domain)."""
+    with dfm.ctx():
+        return seed_strategy1_batch(
+            dfm.lines, dfm.L2, qseq, qlen, x,
+            dfm.primary, dfm.seq_len, dfm.span, min_len, max_intv,
+        )

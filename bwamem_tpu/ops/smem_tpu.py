@@ -8,13 +8,16 @@ lockstep lane batch — one lane per (read, start position) — with the
 branchy bookkeeping expressed as masked fixed-shape state:
 
   * forward pass: a ``lax.while_loop`` advancing every lane one base per
-    tick (two occ4 gathers per tick across the whole batch), recording an
-    interval snapshot whenever a lane's interval size changes, into a
-    fixed [B, K] slot array;
-  * backward pass: a ``lax.while_loop`` over backward positions whose body
-    scans the K slots with ``lax.fori_loop`` carrying the oracle's
-    sequential curr/emit semantics (first-dying-slot emission, size-dedup),
-    two occ4 gathers per (tick, slot).
+    tick — ONE fused occ-line gather of [2B] rows per tick
+    (ops/fmindex_tpu.py r04 layout) — recording an interval snapshot
+    whenever a lane's interval size changes, into a fixed [B, K] slot
+    array;
+  * backward pass: a ``lax.while_loop`` over backward positions whose
+    body extends ALL K prev slots in ONE flattened [2*B*K]-row gather,
+    then replays the oracle's sequential curr/emit semantics
+    (first-dying-slot emission, size-dedup) as a pure-vector
+    ``lax.fori_loop`` over the precomputed slot results — no gathers
+    inside the slot scan (r03 issued 4 gathers per slot per tick).
 
 Lanes whose interval count exceeds K flag overflow and fall back to the
 host oracle read-by-read (rare; K=24 covers typical short reads).
@@ -24,44 +27,18 @@ Bit-exact against engine/seed.py::collect_intv (tests/test_smem_tpu.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .fmindex_tpu import DeviceFMIndex, occ4_device
+from .fmindex_tpu import DeviceFMIndex, _extend_core
 
 K_SLOTS = 24  # max forward interval snapshots / SMEMs per start
 
 
-def _extend_device(ckpt, words, L2, x0, x1, s, primary, seq_len, is_back):
-    """[EXT] bwt_extend for a [B] batch of bi-intervals; all four symbols.
-
-    Returns (new_x0, new_x1, sz), each [B, 4], indexed in queried space
-    exactly like bwa's ok[] (backward: prepend base c at index c; forward:
-    append base b at index 3-b).
-    """
-    xq = x0 if is_back else x1
-    xo = x1 if is_back else x0
-    tk = occ4_device(ckpt, words, L2, xq - 1, primary, seq_len)
-    tl = occ4_device(ckpt, words, L2, xq - 1 + s, primary, seq_len)
-    sz = tl - tk
-    new_q = L2[None, :4].astype(jnp.int32) + 1 + tk
-    has_sent = ((xq <= primary) & (xq + s - 1 >= primary)).astype(jnp.int32)
-    o3 = xo + has_sent
-    o2 = o3 + sz[:, 3]
-    o1 = o2 + sz[:, 2]
-    o0 = o1 + sz[:, 1]
-    new_o = jnp.stack([o0, o1, o2, o3], axis=1)
-    if is_back:
-        return new_q, new_o, sz
-    return new_o, new_q, sz
-
-
-@partial(jax.jit, static_argnames=("primary", "seq_len"))
+@partial(jax.jit, static_argnames=("primary", "seq_len", "span"))
 def smem1a_batch_kernel(
-    ckpt, words, L2, qseq, qlen, x, min_intv, primary: int, seq_len: int
+    lines, L2, qseq, qlen, x, min_intv, primary: int, seq_len: int, span: int
 ):
     """One bwt_smem1a call per lane (max_intv == 0 regime: rounds 1 and 2).
 
@@ -72,17 +49,24 @@ def smem1a_batch_kernel(
     pre-reverse order (descending qb), m_cnt [B], overflow [B] bool.
     """
     B, L = qseq.shape
+    cdt = L2.dtype
     lane = jnp.arange(B)
     c0 = qseq[lane, jnp.clip(x, 0, L - 1)]
     bad0 = (c0 > 3) | (x >= qlen)
     cc0 = jnp.clip(c0, 0, 3)
-    ik_x0 = (L2[cc0] + 1).astype(jnp.int32)
-    ik_x1 = (L2[3 - cc0] + 1).astype(jnp.int32)
+    ik_x0 = L2[cc0] + 1
+    ik_x1 = L2[3 - cc0] + 1
     ik_s = (L2[cc0 + 1] - L2[cc0]).astype(jnp.int32)
     ik_info = (x + 1).astype(jnp.int32)
 
     zK = jnp.zeros((B, K_SLOTS), jnp.int32)
+    zKc = jnp.zeros((B, K_SLOTS), cdt)
     z = jnp.zeros(B, jnp.int32)
+
+    def ext(x0, x1, s, is_back):
+        return _extend_core(
+            lines, L2, x0, x1, s, primary, seq_len, span, is_back
+        )
 
     # ---------------- forward pass: record snapshots on size change -------
     def fwd_cond(st):
@@ -94,13 +78,11 @@ def smem1a_batch_kernel(
         in_len = pos < qlen
         c = qseq[lane, jnp.clip(pos, 0, L - 1)]
         stop_a = alive & (~in_len | (c > 3))  # N/boundary: append ik, stop
-        nx0, nx1, nsz = _extend_device(
-            ckpt, words, L2, x0, x1, s, primary, seq_len, is_back=False
-        )
-        ci = 3 - jnp.clip(c, 0, 3)
-        ex0 = nx0[lane, ci]
-        ex1 = nx1[lane, ci]
-        es = nsz[lane, ci]
+        nx0, nx1, nsz = ext(x0, x1, s, is_back=False)
+        ci = (3 - jnp.clip(c, 0, 3))[:, None]
+        ex0 = jnp.take_along_axis(nx0, ci, axis=1)[:, 0]
+        ex1 = jnp.take_along_axis(nx1, ci, axis=1)[:, 0]
+        es = jnp.take_along_axis(nsz, ci, axis=1)[:, 0]
         changed = alive & ~stop_a & (es != s)
         small = es < min_intv
         append = stop_a | changed
@@ -123,13 +105,13 @@ def smem1a_batch_kernel(
 
     st = (
         jnp.int32(0), ~bad0, ik_x0, ik_x1, ik_s, ik_info,
-        zK, zK, zK, zK, z, (x + 1).astype(jnp.int32), jnp.zeros(B, bool),
+        zKc, zKc, zK, zK, z, (x + 1).astype(jnp.int32), jnp.zeros(B, bool),
     )
     (_, _, _, _, _, _, rx0, rx1, rs, rinfo, cnt, ret, ovf) = (
         jax.lax.while_loop(fwd_cond, fwd_body, st)
     )
 
-    # ------------- backward pass: K-slot scan per backward position -------
+    # ------------- backward pass: batched slot extends per position -------
     # prev slots in longest-first order = reversed record order
     def rev(r):
         sel = jnp.clip(cnt[:, None] - 1 - jnp.arange(K_SLOTS)[None, :], 0,
@@ -139,7 +121,7 @@ def smem1a_batch_kernel(
     px0, px1, ps, pinfo = rev(rx0), rev(rx1), rev(rs), rev(rinfo)
     pcnt = cnt
 
-    mems = dict(x0=zK, x1=zK, s=zK, qb=zK, qe=zK)
+    mems = dict(x0=zKc, x1=zKc, s=zK, qb=zK, qe=zK)
     m_cnt = z
     last_qb = jnp.full(B, jnp.int32(1 << 30))
 
@@ -154,6 +136,16 @@ def smem1a_batch_kernel(
         have_c = lane_alive & (i >= 0) & (cc <= 3)
         c_idx = jnp.clip(cc, 0, 3)
 
+        # ONE flattened extend for every (lane, slot): dead/garbage slots
+        # hold zeros or stale-valid intervals, both safe to query
+        nx0f, nx1f, nszf = ext(
+            px0.reshape(-1), px1.reshape(-1), ps.reshape(-1), is_back=True
+        )
+        csel = jnp.repeat(c_idx, K_SLOTS)[:, None]
+        ax0 = jnp.take_along_axis(nx0f, csel, 1).reshape(B, K_SLOTS)
+        ax1 = jnp.take_along_axis(nx1f, csel, 1).reshape(B, K_SLOTS)
+        asz = jnp.take_along_axis(nszf, csel, 1).reshape(B, K_SLOTS)
+
         def slot(j, carry):
             (cx0, cx1, cs, cinfo, ccnt, last_s, mx0, mx1, ms, mqb, mqe,
              m_cnt, last_qb, ovf) = carry
@@ -161,13 +153,7 @@ def smem1a_batch_kernel(
             p_x0, p_x1, p_s, p_info = (
                 px0[:, j], px1[:, j], ps[:, j], pinfo[:, j],
             )
-            nx0, nx1, nsz = _extend_device(
-                ckpt, words, L2, p_x0, p_x1, p_s, primary, seq_len,
-                is_back=True,
-            )
-            ex0 = nx0[lane, c_idx]
-            ex1 = nx1[lane, c_idx]
-            es = nsz[lane, c_idx]
+            ex0, ex1, es = ax0[:, j], ax1[:, j], asz[:, j]
             dead = valid & (~have_c | (es < min_intv))
             emit = dead & (ccnt == 0) & ((m_cnt == 0) | (i + 1 < last_qb))
             midx = jnp.clip(m_cnt, 0, K_SLOTS - 1)
@@ -191,7 +177,7 @@ def smem1a_batch_kernel(
             return (cx0, cx1, cs, cinfo, ccnt, last_s, mx0, mx1, ms, mqb,
                     mqe, m_cnt, last_qb, ovf)
 
-        carry0 = (zK, zK, zK, zK, z, z, mx0, mx1, ms, mqb, mqe, m_cnt,
+        carry0 = (zKc, zKc, zK, zK, z, z, mx0, mx1, ms, mqb, mqe, m_cnt,
                   last_qb, ovf)
         (cx0, cx1, cs, cinfo, ccnt, _ls, mx0, mx1, ms, mqb, mqe, m_cnt,
          last_qb, ovf) = jax.lax.fori_loop(0, K_SLOTS, slot, carry0)
@@ -211,7 +197,8 @@ def smem1a_batch_kernel(
 
 
 def smem1a_batch(dfm: DeviceFMIndex, qseq, qlen, x, min_intv):
-    return smem1a_batch_kernel(
-        dfm.ckpt, dfm.words, dfm.L2, qseq, qlen, x, min_intv,
-        dfm.primary, dfm.seq_len,
-    )
+    with dfm.ctx():
+        return smem1a_batch_kernel(
+            dfm.lines, dfm.L2, qseq, qlen, x, min_intv,
+            dfm.primary, dfm.seq_len, dfm.span,
+        )

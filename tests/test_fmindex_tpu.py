@@ -46,10 +46,11 @@ def test_extend_matches_host(fm, dfm):
     for is_back in (False, True, False):
         ex0, ex1, esz = fm.extend(x0, x1, s, is_back)
         g = ft.extend_device(
-            dfm.ckpt, dfm.words, dfm.L2,
+            dfm.lines, dfm.L2,
             jnp.asarray(x0, jnp.int32), jnp.asarray(x1, jnp.int32),
             jnp.asarray(s, jnp.int32),
-            primary=dfm.primary, seq_len=dfm.seq_len, is_back=is_back,
+            primary=dfm.primary, seq_len=dfm.seq_len, span=dfm.span,
+            is_back=is_back,
         )
         assert np.array_equal(np.asarray(g[0]), ex0)
         assert np.array_equal(np.asarray(g[1]), ex1)
@@ -71,22 +72,20 @@ def test_occ4_sharded_matches(fm, dfm):
     devs = jax.devices()
     assert len(devs) == 8, "conftest should provide 8 virtual CPU devices"
     mesh = Mesh(np.array(devs), ("idx",))
-    nb = fm.n_blocks
+    lines_np = np.asarray(dfm.lines)
+    nb = lines_np.shape[0]
     pad_nb = ((nb + 7) // 8) * 8
-    ckpt = np.zeros((pad_nb, 4), np.int32)
-    ckpt[:nb] = fm.ckpt[:nb].astype(np.int32)
-    words = np.zeros((pad_nb, 8), np.uint32)
-    words[:nb] = fm.words.astype(np.uint32)
+    lines_pad = np.zeros((pad_nb, lines_np.shape[1]), np.uint32)
+    lines_pad[:nb] = lines_np
     blocks_per_shard = pad_nb // 8
-    ckpt_s = jax.device_put(ckpt, NamedSharding(mesh, P("idx", None)))
-    words_s = jax.device_put(words, NamedSharding(mesh, P("idx", None)))
+    lines_s = jax.device_put(lines_pad, NamedSharding(mesh, P("idx", None)))
     occ4_sharded = ft.make_occ4_sharded(mesh, "idx")
     rng = np.random.default_rng(2)
     ks = rng.integers(-1, fm.seq_len + 1, 1024).astype(np.int32)
     got = np.asarray(
         occ4_sharded(
-            ckpt_s, words_s, dfm.L2, jnp.asarray(ks), fm.primary, fm.seq_len,
-            blocks_per_shard,
+            lines_s, dfm.L2, jnp.asarray(ks), fm.primary, fm.seq_len,
+            dfm.span, blocks_per_shard,
         )
     )
     exp = fm.occ4(ks.astype(np.int64))
@@ -117,3 +116,72 @@ def test_sa_lookup_device_exact():
     got = np.asarray(sa_lookup(dfm, ks.astype(np.int32)))
     exp = fm.sa_lookup(ks)
     assert np.array_equal(got, exp)
+
+
+def test_int64_domain_kernels_match():
+    """The int64 coordinate domain (GRCh38-scale references, bwa's 64-bit
+    bwtint_t [EXT] bwt.h) forced onto a small index: every device kernel
+    must agree with the host oracle exactly as the int32 domain does."""
+    from bwamem_tpu.engine.fmindex import FMIndex
+    from bwamem_tpu.index.build import build_index
+    from bwamem_tpu.ops import seed_tpu
+    from bwamem_tpu.ops.fmindex_tpu import DeviceFMIndex, sa_lookup
+    from bwamem_tpu.ops.smem_tpu import smem1a_batch
+    from bwamem_tpu.utils.fasta import Fasta, FastaContig
+
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, 4000).astype(np.uint8)
+    codes[800:1000] = codes[100:300]  # repeats exercise wide intervals
+    fm = FMIndex(build_index(Fasta([FastaContig("c", "", codes)])))
+    dfm = DeviceFMIndex.from_host(fm, force_big=True)
+    assert dfm.big and dfm.coord_dtype == jnp.int64
+
+    # occ4
+    ks = np.concatenate(
+        [rng.integers(-1, fm.seq_len + 1, 512),
+         [-1, 0, fm.primary, fm.seq_len]]
+    ).astype(np.int64)
+    assert np.array_equal(np.asarray(ft.occ4(dfm, ks)), fm.occ4(ks))
+
+    # sa_lookup
+    rows = rng.integers(0, fm.seq_len, 512).astype(np.int64)
+    assert np.array_equal(np.asarray(sa_lookup(dfm, rows)),
+                          fm.sa_lookup(rows))
+
+    # backward search + smem + strategy-1 vs the int32-domain device twin
+    dfm32 = DeviceFMIndex.from_host(fm)
+    B, L = 16, 64
+    reads = np.empty((B, L), np.int32)
+    for i in range(B):
+        s0 = int(rng.integers(0, 2000 - L))
+        reads[i] = codes[s0:s0 + L]
+    reads[0, 7] = 5  # an N
+    qa = jnp.asarray(reads)
+    qlen = jnp.full(B, L, jnp.int32)
+    x = jnp.asarray(rng.integers(0, 8, B).astype(np.int32))
+    ones = jnp.ones(B, jnp.int32)
+    got = seed_tpu.backward_search(dfm, qa, qlen)
+    exp = seed_tpu.backward_search(dfm32, qa, qlen)
+    for g, e in zip(got, exp):
+        assert np.array_equal(np.asarray(g), np.asarray(e))
+    got = smem1a_batch(dfm, qa, qlen, x, ones)
+    exp = smem1a_batch(dfm32, qa, qlen, x, ones)
+    for g, e in zip(got, exp):
+        assert np.array_equal(np.asarray(g), np.asarray(e))
+    got = seed_tpu.seed_strategy1(dfm, qa, qlen, x, 19, 20)
+    exp = seed_tpu.seed_strategy1(dfm32, qa, qlen, x, 19, 20)
+    for g, e in zip(got, exp):
+        assert np.array_equal(np.asarray(g), np.asarray(e))
+
+
+def test_wide_span_lines_match(fm, dfm):
+    """span=256/512 fused lines must answer occ4 identically to span=128."""
+    rng = np.random.default_rng(11)
+    ks = np.concatenate(
+        [rng.integers(-1, fm.seq_len + 1, 1024),
+         [-1, 0, fm.primary, fm.seq_len]]
+    ).astype(np.int64)
+    exp = fm.occ4(ks)
+    for span in (256, 512):
+        d = ft.DeviceFMIndex.from_host(fm, span=span)
+        assert np.array_equal(np.asarray(ft.occ4(d, ks)), exp), span

@@ -80,9 +80,8 @@ def test_seed_strategy1_batch(fm, dfm):
     qa = jnp.asarray(np.stack(reads), dtype=jnp.int32)
     qlen = jnp.full(len(reads), L, jnp.int32)
     x = jnp.asarray(xs, dtype=jnp.int32)
-    found, fx0, fx1, fs, qb, fqe, _nxt = seed_tpu.seed_strategy1_batch(
-        dfm.ckpt, dfm.words, dfm.L2, qa, qlen, x,
-        primary=dfm.primary, seq_len=dfm.seq_len,
+    found, fx0, fx1, fs, qb, fqe, _nxt = seed_tpu.seed_strategy1(
+        dfm, qa, qlen, x,
         min_len=opt.min_seed_len, max_intv=int(opt.max_mem_intv),
     )
     for i, (r, x0) in enumerate(zip(reads, xs)):
