@@ -50,9 +50,14 @@ def main():
     ref_len = cfg["ref_len"]
     codes = synthetic_genome(ref_len, rng)
 
-    img = f"/tmp/bench_ref_{cfg_name}_{seed}.img"
+    # sa_intv=8: denser sampled SA (pure space/time knob; output-identical,
+    # ~4x shorter SA walks — see index/build.py::build_index docstring)
+    sa_intv = int(os.environ.get("BWAMEM_TPU_SA_INTV", "8"))
+    img = f"/tmp/bench_ref_{cfg_name}_{seed}_sa{sa_intv}.img"
     if not os.path.exists(img):
-        idx_obj = build_index(Fasta([FastaContig("chr", "", codes)]))
+        idx_obj = build_index(
+            Fasta([FastaContig("chr", "", codes)]), sa_intv=sa_intv
+        )
         image.write_image(img, idx_obj)
 
     index = BwaMemIndex(img)

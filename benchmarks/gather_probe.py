@@ -87,8 +87,8 @@ def main():
         return t
 
     NQ = 1 << 17
-    for mb in (1, 64, 1024):
-        for W in (8, 16, 32, 64, 128):
+    for mb, ws in ((1, (16,)), (64, (8, 16, 32, 128)), (1024, (16,))):
+        for W in ws:
             nb = (mb << 20) // (4 * W)
             tab = synth(nb, W)
             idx = jnp.asarray(rng.integers(0, nb, NQ).astype(np.int32))
@@ -96,11 +96,12 @@ def main():
             report(f"tab{mb}MB_w{W}_nq{NQ}", dt, NQ, 4 * W)
             del tab
 
-    # query-count scaling at 64 MB, W=16 (dispatch overhead vs streaming)
+    # query-count scaling at 64 MB, W=16: per-TICK fixed latency vs
+    # streaming rate (the lockstep-loop design constant)
     W = 16
     nb = (64 << 20) // (4 * W)
     tab = synth(nb, W)
-    for lg in (12, 14, 17, 20):
+    for lg in (10, 12, 14, 17, 20):
         nq = 1 << lg
         idx = jnp.asarray(rng.integers(0, nb, nq).astype(np.int32))
         dt = slope_time(loop_of(lambda i, t=tab: t[i], idx), 4, 32)

@@ -90,9 +90,13 @@ def _interleaved_pairs(it):
 
 
 def cmd_index(args) -> int:
+    import os
+
     from .api.index import BwaMemIndex
 
     out = args.output or (args.fasta + ".img")
+    if args.sa_intv is not None:
+        os.environ["BWAMEM_TPU_SA_INTV"] = str(args.sa_intv)
     BwaMemIndex.create_index_image_from_fasta_file(args.fasta, out)
     if args.bwa_files:
         BwaMemIndex.index_reference(args.fasta, args.fasta)
@@ -282,6 +286,11 @@ def main(argv=None) -> int:
     p_idx.add_argument(
         "--bwa-files", action="store_true",
         help="also write bwa-format .amb/.ann/.bwt/.pac/.sa files",
+    )
+    p_idx.add_argument(
+        "--sa-intv", type=int, default=None,
+        help="sampled-SA density (power of two; default 32 = bwa interop; "
+        "8 quarters SA-walk latency for 4x sample storage; output-identical)",
     )
     p_idx.set_defaults(func=cmd_index)
     p_mem = sub.add_parser("mem", help="align reads, SAM to stdout")

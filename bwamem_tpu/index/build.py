@@ -451,13 +451,27 @@ def build_bwt_frugal(pac: np.ndarray, l_pac: int,
     )
 
 
-def build_index(fasta: Fasta, seed: int = 11, sa_intv: int = SA_INTERVAL,
+def build_index(fasta: Fasta, seed: int = 11, sa_intv: int = None,
                 algo: str = "auto", consume: bool = False) -> BwaIndex:
     """Build the full index.  ``algo`` mirrors BwaMemIndex.Algorithm
     (BwaMemIndex.java:46-80): ``auto`` picks the in-RAM builder below 2 Gbp
     and the bounded-memory builder above it (bwa's is/rb2 split), ``is``
     forces in-RAM, ``rb2`` forces bounded-memory.  ``consume=True`` releases
-    the caller's contig arrays during construction (see build_bns_and_pac)."""
+    the caller's contig arrays during construction (see build_bns_and_pac).
+
+    ``sa_intv`` is the sampled-suffix-array density — a pure space/time
+    knob with NO effect on alignment output (every SA walk lands on the
+    same exact value; a denser sample just shortens the walk).  Default:
+    env ``BWAMEM_TPU_SA_INTV`` if set, else bwa's 32 ([EXT] bwtindex.c),
+    which keeps exported .sa files byte-identical to bwa's.  The full SA
+    exists during construction, so denser sampling is free at build time;
+    8 quarters the average walk for 4x the sample storage."""
+    if sa_intv is None:
+        sa_intv = int(os.environ.get("BWAMEM_TPU_SA_INTV", SA_INTERVAL))
+    if sa_intv < 1 or (sa_intv & (sa_intv - 1)):
+        from ..api.exceptions import InvalidInputException
+
+        raise InvalidInputException("sa_intv must be a positive power of two")
     bns, pac, fwd = build_bns_and_pac(fasta, seed, consume=consume)
     if bns.l_pac == 0:
         from ..api.exceptions import CouldNotCreateIndexException
