@@ -107,8 +107,17 @@ def align_regs_batch(
         and use_device_extension
     ):
         return _align_regs_batch_native(opt, eng, reads, TIMERS, exec_cfg)
+    fused_rbegs = None
     with TIMERS.stage("seed"):
-        if device_seed:
+        if device_seed and device_salk:
+            # ONE device dispatch for all three seeding rounds + occurrence
+            # expansion + SA walks (ops/seed_fused.py)
+            from .seed_device import collect_intv_rbegs_batch_device
+
+            intervals_list, fused_rbegs = collect_intv_rbegs_batch_device(
+                opt, eng.fm, reads, mesh=exec_cfg.mesh
+            )
+        elif device_seed:
             from .seed_device import collect_intv_batch_device
 
             intervals_list = collect_intv_batch_device(
@@ -120,22 +129,41 @@ def align_regs_batch(
             intervals_list = collect_intv_batch(opt, eng.fm, reads)
     # one global SA resolution for every interval of every read
     with TIMERS.stage("sa_lookup"):
-        flat_ks: List[int] = []
+        flat_ks = []
         spans: List[List[tuple]] = []
-        for intervals in intervals_list:
-            read_spans = []
-            for p in intervals:
-                ks = sample_ks(p, opt.max_occ)
-                read_spans.append((len(flat_ks), len(ks)))
-                flat_ks.extend(ks)
-            spans.append(read_spans)
-        if not flat_ks:
+        if fused_rbegs is not None:
+            # already resolved on device; flatten to the common layout
+            flat_rbegs_parts: List[np.ndarray] = []
+            off = 0
+            for rb_read in fused_rbegs:
+                read_spans = []
+                for rb in rb_read:
+                    read_spans.append((off, len(rb)))
+                    flat_rbegs_parts.append(np.asarray(rb, dtype=np.int64))
+                    off += len(rb)
+                spans.append(read_spans)
+            flat_rbegs = (
+                np.concatenate(flat_rbegs_parts)
+                if flat_rbegs_parts
+                else np.zeros(0, dtype=np.int64)
+            )
+        else:
+            for intervals in intervals_list:
+                read_spans = []
+                for p in intervals:
+                    ks = sample_ks(p, opt.max_occ)
+                    read_spans.append((len(flat_ks), len(ks)))
+                    flat_ks.extend(ks)
+                spans.append(read_spans)
+        if fused_rbegs is not None:
+            pass
+        elif not flat_ks:
             flat_rbegs = np.zeros(0, dtype=np.int64)
-        elif device_salk and eng.fm.seq_len < (1 << 31):
+        elif device_salk:
             from .seed_device import _get_dfm
             from ..ops.fmindex_tpu import sa_lookup as sa_lookup_dev
 
-            ks_arr = np.asarray(flat_ks, dtype=np.int32)
+            ks_arr = np.asarray(flat_ks, dtype=np.int64)
             if exec_cfg.mesh is not None:
                 from ..parallel.mesh import shard_batch
 

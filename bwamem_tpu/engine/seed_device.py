@@ -82,6 +82,97 @@ def _pad_batch(reads: List[np.ndarray], place):
     return place(qseq), place(qlen), B, L
 
 
+def collect_intv_rbegs_batch_device(
+    opt: MemOptions, fm: FMIndex, reads: List[np.ndarray], mesh=None
+):
+    """ONE-dispatch seeding + SA resolution (ops/seed_fused.py).
+
+    Returns (intervals_list, rbegs_per_intv): per read the oracle-sorted
+    SmemIntv list plus, parallel to it, one int64 rbeg array per interval
+    (the sample_ks occurrence expansion resolved through the sampled SA).
+    The whole batch costs one device dispatch and one two-array pull;
+    overflowed reads (per-read M-slot budget) fall back to the host
+    oracle, an exhausted global walk budget falls back to host SA walks.
+    """
+    import jax
+
+    from ..ops.seed_fused import M_SLOTS, seed_sa_fused
+    from ..utils import metrics as _metrics
+    from . import native_fm
+
+    n = len(reads)
+    if n == 0:
+        return [], []
+    dfm = _get_dfm(fm, mesh)
+    place = _placer(mesh)
+    qseq, qlen_j, B, L = _pad_batch(reads, place)
+    _metrics.count("device_seed_fused_batches")
+    M = M_SLOTS
+    r_per_read = 64
+    packed_d, extra_d = seed_sa_fused(
+        dfm, qseq, qlen_j,
+        min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+        split_width=opt.split_width, max_mem_intv=int(opt.max_mem_intv),
+        max_occ=opt.max_occ, M=M, r_per_read=r_per_read,
+    )
+    packed, extra = jax.device_get((packed_d, extra_d))
+    packed = np.asarray(packed, dtype=np.int64)
+    extra = np.asarray(extra, dtype=np.int64)
+    n_m = packed[:, 0]
+    ovf = packed[:, 1] != 0
+    x0 = packed[:, 2 : 2 + M]
+    x1 = packed[:, 2 + M : 2 + 2 * M]
+    s = packed[:, 2 + 2 * M : 2 + 3 * M]
+    qb = packed[:, 2 + 3 * M : 2 + 4 * M]
+    qe = packed[:, 2 + 4 * M : 2 + 5 * M]
+    rbegs_flat = extra[:-1]
+    total = int(extra[-1])
+    r_ovf = total > B * r_per_read
+
+    # the device's flatten layout: lane-major over ALL B lanes x M slots
+    live = np.arange(M)[None, :] < n_m[:, None]
+    cnt = np.where(live, np.minimum(s, opt.max_occ), 0)
+    offs = np.zeros(B * M + 1, dtype=np.int64)
+    np.cumsum(cnt.reshape(-1), out=offs[1:])
+
+    def _host_sa(ks):
+        if native_fm.available():
+            return native_fm.sa_batch(fm, np.asarray(ks, dtype=np.int64))
+        return fm.sa_lookup(np.asarray(ks, dtype=np.int64))
+
+    intervals_list: List[List[SmemIntv]] = []
+    rbegs_list: List[List[np.ndarray]] = []
+    for r in range(n):
+        if ovf[r]:
+            _metrics.count("device_seed_fused_fallbacks")
+            intervals = collect_intv(opt, fm, reads[r])
+            rb = []
+            for p in intervals:
+                from .chain import sample_ks
+
+                rb.append(_host_sa(sample_ks(p, opt.max_occ)))
+            intervals_list.append(intervals)
+            rbegs_list.append(rb)
+            continue
+        intervals = []
+        rb = []
+        for j in range(int(n_m[r])):
+            intervals.append(
+                SmemIntv(int(x0[r, j]), int(x1[r, j]), int(s[r, j]),
+                         int(qb[r, j]), int(qe[r, j]))
+            )
+            if r_ovf:
+                from .chain import sample_ks
+
+                rb.append(_host_sa(sample_ks(intervals[-1], opt.max_occ)))
+            else:
+                o = offs[r * M + j]
+                rb.append(rbegs_flat[o : o + cnt[r, j]])
+        intervals_list.append(intervals)
+        rbegs_list.append(rb)
+    return intervals_list, rbegs_list
+
+
 def collect_intv_batch_device(
     opt: MemOptions, fm: FMIndex, reads: List[np.ndarray], mesh=None
 ) -> List[List[SmemIntv]]:

@@ -315,11 +315,13 @@ def _sa_tick(lines, L2, k, steps, act, primary, span):
     return k, steps
 
 
-@partial(jax.jit, static_argnames=("primary", "seq_len", "sa_intv", "span"))
-def sa_lookup_kernel(
+def sa_lookup_body(
     lines, L2, sa, k, primary: int, seq_len: int, sa_intv: int, span: int
 ):
     """Sampled-SA resolution for a batch of conceptual rows ([EXT] bwt_sa).
+
+    Plain traced body (used by ops/seed_fused.py); sa_lookup_kernel is the
+    standalone jitted wrapper.
 
     Each row walks k -> LF(k) until it hits a sampled row.  The walk runs
     as a compaction ladder: fixed lockstep rounds over the full batch,
@@ -395,6 +397,11 @@ def sa_lookup_kernel(
     out = sa[(k // sa_intv).astype(jnp.int32)] + steps.astype(k.dtype)
     # un-permute to input order
     return jnp.zeros(B, out.dtype).at[orig].set(out)
+
+
+sa_lookup_kernel = partial(
+    jax.jit, static_argnames=("primary", "seq_len", "sa_intv", "span")
+)(sa_lookup_body)
 
 
 def sa_lookup(dfm: DeviceFMIndex, k) -> jax.Array:

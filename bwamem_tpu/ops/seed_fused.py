@@ -1,0 +1,246 @@
+"""Fused device seeding: all three SMEM rounds + occurrence expansion +
+sampled-SA walks in ONE jitted dispatch.
+
+The r03 device path drove seeding as host-orchestrated waves — one
+smem1a/strategy1 dispatch per cursor wave, with EIGHT array pulls through
+the host<->device link per wave (~13 waves per batch).  On a relay-class
+link that is hundreds of round trips; on any link it serializes the
+device.  Here the cursor loops themselves run on device
+(``lax.while_loop`` around the smem1a/strategy1 bodies), the emitted
+intervals accumulate in fixed [B, M] slot arrays in HBM, the bwa
+``sample_ks`` occurrence expansion and the sampled-SA compaction-ladder
+walks run in the same program, and the host pulls exactly TWO packed
+arrays per batch.
+
+Semantics are pinned to the host pipeline: the interval multiset,
+insertion order (round-1 waves reversed-per-start, round-2 jobs in mem
+order, round-3 hits in cursor order) and the final stable sort by
+(qb, qe) reproduce engine/seed.py::collect_intv exactly; rbegs reproduce
+engine/chain.py::sample_ks + FMIndex.sa_lookup.  Reads that overflow the
+M-slot budget flag overflow and fall back to the host oracle (rare).
+
+Anchors: [EXT] bwt.c bwt_smem1a / bwt_seed_strategy1 / bwt_sa, reached
+from mem_process_seqs (jnibwa.c:214); the one-call batch contract this
+mirrors is jnibwa.c:197-235.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .fmindex_tpu import DeviceFMIndex, sa_lookup_body
+from .seed_tpu import strategy1_body
+from .smem_tpu import K_SLOTS, smem1a_body
+
+M_SLOTS = 48  # per-read interval budget (overflow -> host oracle)
+
+
+def _append_wave(accs, n, ovf, wave, wcnt, active, min_seed_len, M):
+    """Append one smem wave's emissions (reversed slot order, length
+    filtered) into the [B, M] accumulators.  accs/wave: tuples of
+    (x0, x1, s, qb, qe) arrays; returns (accs, n, ovf)."""
+    B, K = wave[3].shape
+    j = jnp.arange(K)[None, :]
+    k_src = wcnt[:, None] - 1 - j  # reversed: oracle appends ascending qb
+    valid = active[:, None] & (k_src >= 0)
+    k_c = jnp.clip(k_src, 0, K - 1)
+    vqb = jnp.take_along_axis(wave[3], k_c, axis=1)
+    vqe = jnp.take_along_axis(wave[4], k_c, axis=1)
+    keep = valid & (vqe - vqb >= min_seed_len)
+    dest = n[:, None] + jnp.cumsum(keep.astype(jnp.int32), axis=1) - keep
+    dest = jnp.where(keep & (dest < M), dest, M)  # drop OOB
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
+    out = tuple(
+        acc.at[rows, dest].set(
+            jnp.take_along_axis(w, k_c, axis=1), mode="drop"
+        )
+        for acc, w in zip(accs, wave)
+    )
+    n_new = n + keep.sum(axis=1, dtype=jnp.int32)
+    ovf = ovf | (n_new > M)
+    return out, jnp.minimum(n_new, M), ovf
+
+
+def seed_sa_fused_body(
+    lines, L2, sa, qseq, qlen, *, primary: int, seq_len: int, sa_intv: int,
+    span: int, min_seed_len: int, split_len: int, split_width: int,
+    max_mem_intv: int, max_occ: int, M: int, R_cap: int,
+):
+    B, L = qseq.shape
+    cdt = L2.dtype
+    lane = jnp.arange(B)
+    zMc = jnp.zeros((B, M), cdt)
+    zM = jnp.zeros((B, M), jnp.int32)
+    accs = (zMc, zMc, zM, zM, zM)  # x0, x1, s, qb, qe
+    n = jnp.zeros(B, jnp.int32)
+    ovf = jnp.zeros(B, bool)
+    ones = jnp.ones(B, jnp.int32)
+
+    def smem(x, min_intv):
+        return smem1a_body(
+            lines, L2, qseq, qlen, x, min_intv, primary, seq_len, span
+        )
+
+    # ---- round 1: all SMEMs, cursor waves over start positions ----------
+    def r1_cond(st):
+        return (st[0] < qlen).any()
+
+    def r1_body(st):
+        x, accs, n, ovf = st
+        active = x < qlen
+        ret, wx0, wx1, ws, wqb, wqe, wcnt, wovf = smem(x, ones)
+        ovf = ovf | (active & wovf)
+        accs, n, ovf = _append_wave(
+            accs, n, ovf, (wx0, wx1, ws, wqb, wqe), wcnt, active,
+            min_seed_len, M,
+        )
+        return jnp.where(active, ret, x), accs, n, ovf
+
+    x0c = jnp.zeros(B, jnp.int32)
+    x, accs, n, ovf = jax.lax.while_loop(
+        r1_cond, r1_body, (x0c, accs, n, ovf)
+    )
+
+    # ---- round 2: re-seed long low-occurrence SMEMs from the middle -----
+    n1 = n  # snapshot: jobs come from round-1 mems only
+    marr = jnp.arange(M)[None, :]
+
+    def qual_of(accs):
+        _, _, ms, mqb, mqe = accs
+        return (
+            (marr < n1[:, None])
+            & (mqe - mqb >= split_len)
+            & (ms <= split_width)
+        )
+
+    def find_next(jc, accs):
+        cand = qual_of(accs) & (marr >= jc[:, None])
+        return cand.any(axis=1), jnp.argmax(cand, axis=1).astype(jnp.int32)
+
+    def r2_cond(st):
+        jc, accs, _, _ = st
+        has, _ = find_next(jc, accs)
+        return has.any()
+
+    def r2_body(st):
+        jc, accs, n, ovf = st
+        has, idx = find_next(jc, accs)
+        _, _, ms, mqb, mqe = accs
+        start = (mqb[lane, idx] + mqe[lane, idx]) >> 1
+        mintv = ms[lane, idx] + 1
+        x_in = jnp.where(has, start, qlen)  # idle lanes: x >= qlen
+        _ret, wx0, wx1, ws, wqb, wqe, wcnt, wovf = smem(x_in, mintv)
+        ovf = ovf | (has & wovf)
+        accs, n, ovf = _append_wave(
+            accs, n, ovf, (wx0, wx1, ws, wqb, wqe), wcnt, has,
+            min_seed_len, M,
+        )
+        return jnp.where(has, idx + 1, jc), accs, n, ovf
+
+    jc0 = jnp.zeros(B, jnp.int32)
+    _, accs, n, ovf = jax.lax.while_loop(
+        r2_cond, r2_body, (jc0, accs, n, ovf)
+    )
+
+    # ---- round 3: LAST-like strategy-1 cursor waves ---------------------
+    if max_mem_intv > 0:
+
+        def r3_cond(st):
+            return (st[0] < qlen).any()
+
+        def r3_body(st):
+            x, accs, n, ovf = st
+            active = x < qlen
+            found, fx0, fx1, fs, _qb, fqe, nxt = strategy1_body(
+                lines, L2, qseq, qlen, x, primary, seq_len, span,
+                min_seed_len, max_mem_intv,
+            )
+            app = active & found & (fs > 0)
+            dest = jnp.where(app & (n < M), n, M)
+            ax0, ax1, as_, aqb, aqe = accs
+            accs = (
+                ax0.at[lane, dest].set(fx0, mode="drop"),
+                ax1.at[lane, dest].set(fx1, mode="drop"),
+                as_.at[lane, dest].set(fs, mode="drop"),
+                aqb.at[lane, dest].set(x.astype(jnp.int32), mode="drop"),
+                aqe.at[lane, dest].set(fqe, mode="drop"),
+            )
+            ovf = ovf | (app & (n >= M))
+            n = n + app.astype(jnp.int32)
+            return jnp.where(active, nxt, x), accs, n, ovf
+
+        x, accs, n, ovf = jax.lax.while_loop(
+            r3_cond, r3_body, (x0c, accs, n, ovf)
+        )
+
+    # ---- stable sort per read by (qb, qe) — the oracle's final order ----
+    ax0, ax1, as_, aqb, aqe = accs
+    key = aqb * jnp.int32(L + 1) + aqe  # == (qb<<32|qe) ordering for qe<=L
+    key = jnp.where(marr < n[:, None], key, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key, axis=1, stable=True)
+    g = lambda r: jnp.take_along_axis(r, order, axis=1)
+    ax0, ax1, as_, aqb, aqe = g(ax0), g(ax1), g(as_), g(aqb), g(aqe)
+
+    # ---- bwa sample_ks occurrence expansion + SA walks ------------------
+    live = marr < n[:, None]
+    cnt = jnp.where(live, jnp.minimum(as_, max_occ), 0)
+    step = jnp.where(as_ > max_occ, as_ // max_occ, 1)
+    flat_cnt = cnt.reshape(-1)
+    cum = jnp.cumsum(flat_cnt)
+    total = cum[-1]
+    gidx = jnp.arange(R_cap)
+    mem_idx = jnp.searchsorted(cum, gidx, side="right")
+    mi = jnp.clip(mem_idx, 0, B * M - 1)
+    prev = jnp.where(mem_idx > 0, cum[jnp.clip(mem_idx - 1, 0, B * M - 1)], 0)
+    t = (gidx - prev).astype(cdt)
+    ks = ax0.reshape(-1)[mi] + step.reshape(-1)[mi].astype(cdt) * t
+    ks = jnp.where(gidx < total, ks, 0)
+    rbegs = sa_lookup_body(
+        lines, L2, sa, ks, primary, seq_len, sa_intv, span
+    )
+
+    # ---- pack: ONE [B, 2+5M] row array + ONE [R_cap+1] tail -------------
+    packed = jnp.concatenate(
+        [
+            n[:, None].astype(cdt),
+            ovf[:, None].astype(cdt),
+            ax0, ax1,
+            as_.astype(cdt), aqb.astype(cdt), aqe.astype(cdt),
+        ],
+        axis=1,
+    )
+    extra = jnp.concatenate([rbegs, total[None].astype(cdt)])
+    return packed, extra
+
+
+_seed_sa_fused_kernel = partial(
+    jax.jit,
+    static_argnames=(
+        "primary", "seq_len", "sa_intv", "span", "min_seed_len",
+        "split_len", "split_width", "max_mem_intv", "max_occ", "M", "R_cap",
+    ),
+)(seed_sa_fused_body)
+
+
+def seed_sa_fused(
+    dfm: DeviceFMIndex, qseq, qlen, *, min_seed_len: int, split_len: int,
+    split_width: int, max_mem_intv: int, max_occ: int,
+    M: int = M_SLOTS, r_per_read: int = 64,
+):
+    """One-dispatch seeding+SA for a padded [B, L] batch.
+
+    Returns (packed [B, 2+5M], extra [R_cap+1]) device arrays; see
+    engine/seed_device.py::collect_intv_rbegs_batch_device for decoding.
+    """
+    B = qseq.shape[0]
+    R_cap = B * r_per_read
+    with dfm.ctx():
+        return _seed_sa_fused_kernel(
+            dfm.lines, dfm.L2, dfm.sa, qseq, qlen,
+            primary=dfm.primary, seq_len=dfm.seq_len, sa_intv=dfm.sa_intv,
+            span=dfm.span, min_seed_len=min_seed_len, split_len=split_len,
+            split_width=split_width, max_mem_intv=max_mem_intv,
+            max_occ=max_occ, M=M, R_cap=R_cap,
+        )

@@ -77,15 +77,14 @@ def backward_search(dfm: DeviceFMIndex, qseq, qlen):
         )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("primary", "seq_len", "span", "min_len", "max_intv"),
-)
-def seed_strategy1_batch(
+def strategy1_body(
     lines, L2, qseq, qlen, x, primary: int, seq_len: int, span: int,
     min_len: int, max_intv: int,
 ):
     """Device lockstep of [EXT] bwt_seed_strategy1 from start positions x.
+
+    Plain traced body (used by ops/seed_fused.py); seed_strategy1_batch is
+    the standalone jitted wrapper.
 
     Forward-extends every read's pattern from its own x until the interval
     drops below max_intv with length > min_len.  Returns per lane
@@ -151,6 +150,12 @@ def seed_strategy1_batch(
         cond, body, init
     )
     return found, fx0, fx1, fs, x, fqe, nxt
+
+
+seed_strategy1_batch = partial(
+    jax.jit,
+    static_argnames=("primary", "seq_len", "span", "min_len", "max_intv"),
+)(strategy1_body)
 
 
 def seed_strategy1(dfm: DeviceFMIndex, qseq, qlen, x, min_len, max_intv):

@@ -36,11 +36,14 @@ from .fmindex_tpu import DeviceFMIndex, _extend_core
 K_SLOTS = 24  # max forward interval snapshots / SMEMs per start
 
 
-@partial(jax.jit, static_argnames=("primary", "seq_len", "span"))
-def smem1a_batch_kernel(
+def smem1a_body(
     lines, L2, qseq, qlen, x, min_intv, primary: int, seq_len: int, span: int
 ):
     """One bwt_smem1a call per lane (max_intv == 0 regime: rounds 1 and 2).
+
+    Plain traced body — callable from inside larger jitted programs (the
+    fused seeding step, ops/seed_fused.py); smem1a_batch_kernel is the
+    standalone jitted wrapper.
 
     qseq [B, L] int32 codes (4 = N), x [B] start positions, min_intv [B].
     Lanes with q[x] > 3 or x >= qlen produce nothing and ret = x + 1.
@@ -194,6 +197,11 @@ def smem1a_batch_kernel(
         jax.lax.while_loop(bwd_cond, bwd_body, st)
     )
     return ret, mx0, mx1, ms, mqb, mqe, m_cnt, ovf
+
+
+smem1a_batch_kernel = partial(
+    jax.jit, static_argnames=("primary", "seq_len", "span")
+)(smem1a_body)
 
 
 def smem1a_batch(dfm: DeviceFMIndex, qseq, qlen, x, min_intv):
