@@ -81,11 +81,14 @@ def main():
     )
     dev_env = {
         "BWAMEM_TPU_DEVICE_SEED": "1",
+        "BWAMEM_TPU_DEVICE_SA_LOOKUP": "1",  # + SEED => fused one-dispatch
+        "BWAMEM_TPU_DEVICE_CHAIN": "1",
         "BWAMEM_TPU_DEVICE_EXTEND": "1",
         "BWAMEM_TPU_FORCE_WAVES": "1",
     }
-    # warm compile pass (cached afterwards)
-    _align(img, reads[:16], dev_env)
+    # warm compile pass at the SAME batch/length buckets (compile caches
+    # per shape; a small warm batch would leave the real shapes cold)
+    _align(img, reads, dev_env)
     dev_recs, dev_dt, counters = _align(img, reads, dev_env)
 
     equal = host_recs == dev_recs
@@ -105,6 +108,12 @@ def main():
         "n_reads_differing": int(n_diff),
         "host_reads_per_sec": round(len(reads) / host_dt, 1),
         "device_reads_per_sec": round(len(reads) / dev_dt, 1),
+        "device_seed_fused_batches": int(
+            counters.get("device_seed_fused_batches", 0)
+        ),
+        "device_seed_fused_fallbacks": int(
+            counters.get("device_seed_fused_fallbacks", 0)
+        ),
         "device_seed_waves": int(counters.get("device_seed_waves", 0)),
         "device_extend_waves": int(counters.get("device_extend_waves", 0)),
         "device_extend_jobs": int(counters.get("device_extend_jobs", 0)),

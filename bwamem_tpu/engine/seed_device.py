@@ -71,10 +71,10 @@ def _placer(mesh):
     return place
 
 
-def _pad_batch(reads: List[np.ndarray], place):
+def _pad_batch(reads: List[np.ndarray], place, dtype=np.int32):
     B = _bucket(len(reads), _B_BUCKETS)
     L = _bucket(max((len(r) for r in reads), default=1), _L_BUCKETS)
-    qseq = np.full((B, L), 4, dtype=np.int32)
+    qseq = np.full((B, L), 4, dtype=dtype)
     qlen = np.zeros(B, dtype=np.int32)
     for i, r in enumerate(reads):
         qseq[i, : len(r)] = r
@@ -100,40 +100,46 @@ def collect_intv_rbegs_batch_device(
     from ..utils import metrics as _metrics
     from . import native_fm
 
+    from .chain import sample_ks
+
     n = len(reads)
     if n == 0:
         return [], []
     dfm = _get_dfm(fm, mesh)
     place = _placer(mesh)
-    qseq, qlen_j, B, L = _pad_batch(reads, place)
+    qseq, qlen_j, B, L = _pad_batch(reads, place, dtype=np.int8)
     _metrics.count("device_seed_fused_batches")
-    M = M_SLOTS
-    r_per_read = 64
-    packed_d, extra_d = seed_sa_fused(
+    r_per_read, f_per_read = 64, 24
+    meta_d, flat_d, extra_d = seed_sa_fused(
         dfm, qseq, qlen_j,
         min_seed_len=opt.min_seed_len, split_len=opt.split_len,
         split_width=opt.split_width, max_mem_intv=int(opt.max_mem_intv),
-        max_occ=opt.max_occ, M=M, r_per_read=r_per_read,
+        max_occ=opt.max_occ, M=M_SLOTS, r_per_read=r_per_read,
+        f_per_read=f_per_read,
     )
-    packed, extra = jax.device_get((packed_d, extra_d))
-    packed = np.asarray(packed, dtype=np.int64)
+    meta, flat, extra = jax.device_get((meta_d, flat_d, extra_d))
+    meta = np.asarray(meta, dtype=np.int64)
+    flat = np.asarray(flat, dtype=np.int64)
     extra = np.asarray(extra, dtype=np.int64)
-    n_m = packed[:, 0]
-    ovf = packed[:, 1] != 0
-    x0 = packed[:, 2 : 2 + M]
-    x1 = packed[:, 2 + M : 2 + 2 * M]
-    s = packed[:, 2 + 2 * M : 2 + 3 * M]
-    qb = packed[:, 2 + 3 * M : 2 + 4 * M]
-    qe = packed[:, 2 + 4 * M : 2 + 5 * M]
-    rbegs_flat = extra[:-1]
-    total = int(extra[-1])
-    r_ovf = total > B * r_per_read
+    n_m = meta & 0xFFFF
+    ovf = (meta >> 16) != 0
+    rbegs_flat = extra[:-2]
+    total_rbegs = int(extra[-2])
+    total_mems = int(extra[-1])
+    r_ovf = total_rbegs > B * r_per_read
+    mem_ovf = total_mems > B * f_per_read
+    if mem_ovf:
+        ovf[:] = True  # flat table truncated: host oracle for the batch
 
-    # the device's flatten layout: lane-major over ALL B lanes x M slots
-    live = np.arange(M)[None, :] < n_m[:, None]
-    cnt = np.where(live, np.minimum(s, opt.max_occ), 0)
-    offs = np.zeros(B * M + 1, dtype=np.int64)
-    np.cumsum(cnt.reshape(-1), out=offs[1:])
+    # per-read row spans in the flat table + per-row walk offsets (the
+    # device's exact layout, recomputed host-side)
+    starts = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(n_m, out=starts[1:])
+    s_col = flat[:, 2]
+    cnt = np.minimum(s_col, opt.max_occ)
+    cnt[min(total_mems, len(flat)):] = 0
+    offs = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offs[1:])
 
     def _host_sa(ks):
         if native_fm.available():
@@ -146,28 +152,22 @@ def collect_intv_rbegs_batch_device(
         if ovf[r]:
             _metrics.count("device_seed_fused_fallbacks")
             intervals = collect_intv(opt, fm, reads[r])
-            rb = []
-            for p in intervals:
-                from .chain import sample_ks
-
-                rb.append(_host_sa(sample_ks(p, opt.max_occ)))
+            rb = [_host_sa(sample_ks(p, opt.max_occ)) for p in intervals]
             intervals_list.append(intervals)
             rbegs_list.append(rb)
             continue
         intervals = []
         rb = []
-        for j in range(int(n_m[r])):
+        for j in range(starts[r], starts[r] + n_m[r]):
+            qbqe = int(flat[j, 3])
             intervals.append(
-                SmemIntv(int(x0[r, j]), int(x1[r, j]), int(s[r, j]),
-                         int(qb[r, j]), int(qe[r, j]))
+                SmemIntv(int(flat[j, 0]), int(flat[j, 1]), int(flat[j, 2]),
+                         qbqe >> 16, qbqe & 0xFFFF)
             )
             if r_ovf:
-                from .chain import sample_ks
-
                 rb.append(_host_sa(sample_ks(intervals[-1], opt.max_occ)))
             else:
-                o = offs[r * M + j]
-                rb.append(rbegs_flat[o : o + cnt[r, j]])
+                rb.append(rbegs_flat[offs[j] : offs[j] + cnt[j]])
         intervals_list.append(intervals)
         rbegs_list.append(rb)
     return intervals_list, rbegs_list

@@ -329,6 +329,9 @@ def chains_device_batch(
     )
     ctg_alt = np.asarray([a.is_alt for a in bns.anns], dtype=np.int32)
 
+    # host copies for the result-assembly loop (the sharded device arrays
+    # must not be read back element-wise)
+    rbeg_h, qbeg_h, slen_h, nseed_h = rbeg, qbeg, slen, nseed
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_batch
 
@@ -336,9 +339,10 @@ def chains_device_batch(
             mesh, rbeg, qbeg, slen, nseed, qlen
         )
         ctg_end, ctg_alt = replicate(mesh, ctg_end, ctg_alt)
-    (assign, crid, weight, nch, order, kept, first, emit, ovf) = [
-        np.asarray(x)
-        for x in chain_kernel(
+    import jax
+
+    (assign, crid, weight, nch, order, kept, first, emit, ovf) = jax.device_get(
+        chain_kernel(
             jnp.asarray(rbeg), jnp.asarray(qbeg), jnp.asarray(slen),
             jnp.asarray(nseed), jnp.asarray(qlen),
             jnp.asarray(ctg_end), jnp.asarray(ctg_alt),
@@ -348,7 +352,7 @@ def chains_device_batch(
             jnp.float32(opt.mask_level), jnp.float32(opt.drop_ratio),
             S=S, C=C, l_pac=int(bns.l_pac),
         )
-    ]
+    )
 
     out: List[List[Chain]] = []
     for i in range(n):
@@ -363,13 +367,13 @@ def chains_device_batch(
         # seeds per slot, in enumeration order
         per_slot: List[List[Seed]] = [[] for _ in range(int(nch[i]))]
         a_i = assign[i]
-        for t in range(int(nseed[i])):
+        for t in range(int(nseed_h[i])):
             s = int(a_i[t])
             if s >= 0:
                 per_slot[s].append(
                     Seed(
-                        rbeg=int(rbeg[i, t]), qbeg=int(qbeg[i, t]),
-                        len=int(slen[i, t]), score=int(slen[i, t]),
+                        rbeg=int(rbeg_h[i, t]), qbeg=int(qbeg_h[i, t]),
+                        len=int(slen_h[i, t]), score=int(slen_h[i, t]),
                     )
                 )
         chains = []

@@ -296,5 +296,12 @@ def ksw_extend_batch_np(
             o_del, e_del, o_ins, e_ins, zdrop,
             max_sc,
         )
-    out = {k: np.asarray(v) for k, v in out.items()}
-    return [{k: int(out[k][i]) for k in out} for i in range(B)]
+    # ONE device pull per wave: stack the result fields into a single
+    # [K, B] array instead of pulling each field separately (each pull is
+    # a full link round trip on relay-class hosts)
+    keys = sorted(out)
+    stacked = np.asarray(jnp.stack([out[k] for k in keys]))
+    return [
+        {k: int(stacked[j, i]) for j, k in enumerate(keys)}
+        for i in range(B)
+    ]

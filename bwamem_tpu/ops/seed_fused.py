@@ -66,9 +66,11 @@ def _append_wave(accs, n, ovf, wave, wcnt, active, min_seed_len, M):
 def seed_sa_fused_body(
     lines, L2, sa, qseq, qlen, *, primary: int, seq_len: int, sa_intv: int,
     span: int, min_seed_len: int, split_len: int, split_width: int,
-    max_mem_intv: int, max_occ: int, M: int, R_cap: int,
+    max_mem_intv: int, max_occ: int, M: int, R_cap: int, F_cap: int,
 ):
+    qseq = qseq.astype(jnp.int32)  # uploaded as int8 (4x fewer link bytes)
     B, L = qseq.shape
+    assert L < (1 << 16), "qb/qe pack into 16 bits each"
     cdt = L2.dtype
     lane = jnp.arange(B)
     zMc = jnp.zeros((B, M), cdt)
@@ -183,43 +185,51 @@ def seed_sa_fused_body(
     g = lambda r: jnp.take_along_axis(r, order, axis=1)
     ax0, ax1, as_, aqb, aqe = g(ax0), g(ax1), g(as_), g(aqb), g(aqe)
 
-    # ---- bwa sample_ks occurrence expansion + SA walks ------------------
+    # ---- compact live mems into a flat [F_cap, 4] table -----------------
+    # rows in (lane, sorted-mem) order: x0 | x1 | s | qb<<16|qe.  The
+    # host recomputes the same layout from the per-read counts.
+    starts = (jnp.cumsum(n) - n).astype(jnp.int32)  # exclusive per-lane
+    total_mems = n.sum()
     live = marr < n[:, None]
-    cnt = jnp.where(live, jnp.minimum(as_, max_occ), 0)
-    step = jnp.where(as_ > max_occ, as_ // max_occ, 1)
-    flat_cnt = cnt.reshape(-1)
-    cum = jnp.cumsum(flat_cnt)
+    dest = jnp.where(live, starts[:, None] + marr, F_cap).reshape(-1)
+    qbqe = (aqb.astype(cdt) << 16) | aqe.astype(cdt)
+    flat = jnp.zeros((F_cap, 4), cdt)
+    for c, arr in enumerate((ax0, ax1, as_.astype(cdt), qbqe)):
+        flat = flat.at[dest, c].set(arr.reshape(-1), mode="drop")
+
+    # ---- bwa sample_ks occurrence expansion + SA walks ------------------
+    rowix = jnp.arange(F_cap)
+    live_f = rowix < jnp.minimum(total_mems, F_cap)
+    s_f = flat[:, 2]
+    cnt_f = jnp.where(live_f, jnp.minimum(s_f, max_occ), 0).astype(jnp.int32)
+    step_f = jnp.where(s_f > max_occ, s_f // max_occ, 1)
+    cum = jnp.cumsum(cnt_f)
     total = cum[-1]
     gidx = jnp.arange(R_cap)
     mem_idx = jnp.searchsorted(cum, gidx, side="right")
-    mi = jnp.clip(mem_idx, 0, B * M - 1)
-    prev = jnp.where(mem_idx > 0, cum[jnp.clip(mem_idx - 1, 0, B * M - 1)], 0)
+    mi = jnp.clip(mem_idx, 0, F_cap - 1)
+    prev = jnp.where(mem_idx > 0, cum[jnp.clip(mem_idx - 1, 0, F_cap - 1)], 0)
     t = (gidx - prev).astype(cdt)
-    ks = ax0.reshape(-1)[mi] + step.reshape(-1)[mi].astype(cdt) * t
+    ks = flat[mi, 0] + step_f[mi] * t
     ks = jnp.where(gidx < total, ks, 0)
     rbegs = sa_lookup_body(
         lines, L2, sa, ks, primary, seq_len, sa_intv, span
     )
 
-    # ---- pack: ONE [B, 2+5M] row array + ONE [R_cap+1] tail -------------
-    packed = jnp.concatenate(
-        [
-            n[:, None].astype(cdt),
-            ovf[:, None].astype(cdt),
-            ax0, ax1,
-            as_.astype(cdt), aqb.astype(cdt), aqe.astype(cdt),
-        ],
-        axis=1,
+    # ---- pack: meta [B] i32 + flat [F_cap, 4] + tail — ONE pull ---------
+    meta = n + (ovf.astype(jnp.int32) << 16)
+    extra = jnp.concatenate(
+        [rbegs, total[None].astype(cdt), total_mems[None].astype(cdt)]
     )
-    extra = jnp.concatenate([rbegs, total[None].astype(cdt)])
-    return packed, extra
+    return meta, flat, extra
 
 
 _seed_sa_fused_kernel = partial(
     jax.jit,
     static_argnames=(
         "primary", "seq_len", "sa_intv", "span", "min_seed_len",
-        "split_len", "split_width", "max_mem_intv", "max_occ", "M", "R_cap",
+        "split_len", "split_width", "max_mem_intv", "max_occ", "M",
+        "R_cap", "F_cap",
     ),
 )(seed_sa_fused_body)
 
@@ -227,20 +237,22 @@ _seed_sa_fused_kernel = partial(
 def seed_sa_fused(
     dfm: DeviceFMIndex, qseq, qlen, *, min_seed_len: int, split_len: int,
     split_width: int, max_mem_intv: int, max_occ: int,
-    M: int = M_SLOTS, r_per_read: int = 64,
+    M: int = M_SLOTS, r_per_read: int = 64, f_per_read: int = 24,
 ):
-    """One-dispatch seeding+SA for a padded [B, L] batch.
+    """One-dispatch seeding+SA for a padded [B, L] int8 batch.
 
-    Returns (packed [B, 2+5M], extra [R_cap+1]) device arrays; see
-    engine/seed_device.py::collect_intv_rbegs_batch_device for decoding.
+    Returns (meta [B] i32, flat [F_cap, 4], extra [R_cap+2]) device
+    arrays; see engine/seed_device.py::collect_intv_rbegs_batch_device
+    for the decode.
     """
     B = qseq.shape[0]
     R_cap = B * r_per_read
+    F_cap = B * f_per_read
     with dfm.ctx():
         return _seed_sa_fused_kernel(
             dfm.lines, dfm.L2, dfm.sa, qseq, qlen,
             primary=dfm.primary, seq_len=dfm.seq_len, sa_intv=dfm.sa_intv,
             span=dfm.span, min_seed_len=min_seed_len, split_len=split_len,
             split_width=split_width, max_mem_intv=max_mem_intv,
-            max_occ=max_occ, M=M, R_cap=R_cap,
+            max_occ=max_occ, M=M, R_cap=R_cap, F_cap=F_cap,
         )

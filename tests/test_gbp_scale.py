@@ -90,3 +90,41 @@ def test_midsize_320mbp_end_to_end(tmp_path):
     )
     assert mapped >= 0.95 * len(reads)
     assert good >= 0.90 * len(reads)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BWAMEM_TPU_SLOW_TESTS") != "1",
+    reason="gigabase-scale synthetic index (minutes); BWAMEM_TPU_SLOW_TESTS=1",
+)
+def test_big_domain_fused_device_seed_1p55gbp():
+    """>2^31 seq_len (1.55 Gbp reference scale): the FUSED one-dispatch
+    device seeding+SA runs in the int64 coordinate domain and is
+    record-equal to the host oracle (intervals AND rbegs).  Uses the
+    structurally-consistent random-BWT index (utils/synth.py) so the test
+    costs seconds of setup, not a gigabase SA-IS build."""
+    import numpy as np
+
+    from bwamem_tpu.api.options import MemOptions
+    from bwamem_tpu.engine.chain import sample_ks
+    from bwamem_tpu.engine.seed import collect_intv
+    from bwamem_tpu.engine.seed_device import collect_intv_rbegs_batch_device
+    from bwamem_tpu.utils.synth import synthetic_fmindex
+
+    opt = MemOptions(min_seed_len=14)  # see __graft_entry__ big section
+    rng = np.random.default_rng(77)
+    fm = synthetic_fmindex((3_100_000_000 // 128) * 128, rng, sa_intv=512)
+    reads = [rng.integers(0, 4, 80).astype(np.uint8) for _ in range(12)]
+    reads.append(np.full(30, 4, dtype=np.uint8))
+    got_i, got_rb = collect_intv_rbegs_batch_device(opt, fm, reads)
+    for i, r in enumerate(reads):
+        exp = collect_intv(opt, fm, r)
+        assert [(p.x0, p.x1, p.s, p.qb, p.qe) for p in got_i[i]] == [
+            (p.x0, p.x1, p.s, p.qb, p.qe) for p in exp
+        ], i
+        for j, p in enumerate(exp):
+            exp_rb = fm.sa_lookup(
+                np.asarray(sample_ks(p, opt.max_occ), dtype=np.int64)
+            )
+            assert np.array_equal(
+                np.asarray(got_rb[i][j], dtype=np.int64), exp_rb
+            ), (i, j)
