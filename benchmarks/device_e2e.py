@@ -76,6 +76,7 @@ def main():
         image.write_image(img, build_index(Fasta([FastaContig("c", "", codes)])))
     reads = simulate_pairs(codes, np.random.default_rng(43), 300)
 
+    print("[e2e] host pass...", file=sys.stderr, flush=True)
     host_recs, host_dt, _ = _align(
         img, reads, {"BWAMEM_TPU_DEVICE_SEED": "0", "BWAMEM_TPU_DEVICE_EXTEND": "0"}
     )
@@ -88,7 +89,9 @@ def main():
     }
     # warm compile pass at the SAME batch/length buckets (compile caches
     # per shape; a small warm batch would leave the real shapes cold)
+    print("[e2e] device warm (compile)...", file=sys.stderr, flush=True)
     _align(img, reads, dev_env)
+    print("[e2e] device timed pass...", file=sys.stderr, flush=True)
     dev_recs, dev_dt, counters = _align(img, reads, dev_env)
 
     equal = host_recs == dev_recs

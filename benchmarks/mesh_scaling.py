@@ -154,6 +154,17 @@ def main():
             })
     model["projected_compute_bound"] = proj
     results["dispatch_cost_model"] = model
+    # the proxy's hard ceiling: n virtual devices share n_cores real cores,
+    # so compute-bound efficiency cannot exceed n_cores/n; report how close
+    # the measured points come to that ceiling (the remainder is the true
+    # partition/dispatch overhead the design controls)
+    ncores = os.cpu_count() or 1
+    for p in results["points"]:
+        ceil = min(1.0, ncores / p["n_devices"])
+        p["core_ceiling_pct"] = round(100 * ceil, 1)
+        p["pct_of_core_ceiling"] = round(
+            100 * (p["efficiency_pct"] / 100) / ceil, 1
+        )
 
     if "--json" in sys.argv:
         import json

@@ -487,8 +487,10 @@ static SeedTask collect_intv_co(const FM& fm, const uint8_t* q, int len,
 }
 
 // Lanes interleaved per core: enough in-flight misses to cover DRAM latency
-// without thrashing L1 with coroutine frames (tuned on the chr20 config).
-constexpr int kSeedLanes = 16;
+// without thrashing L1 with coroutine frames.  Re-tuned r04 on the chr20
+// config after the fused-line/sa_intv work (16 -> 48: +20%+ seed rate;
+// 64 regresses — frame footprint crosses L2).
+constexpr int kSeedLanes = 48;
 
 // Drive a group of reads' seeding coroutines round-robin.
 static void collect_intv_group(const FM& fm, int n, const uint8_t* const* qs,
