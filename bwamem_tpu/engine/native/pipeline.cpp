@@ -769,41 +769,9 @@ static inline int32_t sw_row_core(const int8_t* prow, int64_t qlen,
   return rmax;
 }
 
-// Runs rows [0, rows); leaves the last row in *Hout (1-padded).  When
-// rowmax != nullptr it records each row's max.
-static void sw_run(const int8_t* mat, const uint8_t* q, int64_t qlen,
-                   const uint8_t* t, int64_t rows, int32_t oe_del,
-                   int32_t e_del, int32_t oe_ins, int32_t e_ins,
-                   SwScratch& s, std::vector<int64_t>* rowmax,
-                   const int32_t** Hout) {
-  s.prof.resize((size_t)5 * qlen);
-  for (int k = 0; k < 5; ++k)
-    for (int64_t j = 0; j < qlen; ++j)
-      s.prof[(size_t)k * qlen + j] = mat[k * 5 + q[j]];
-  size_t nbuf = (size_t)qlen + 9;
-  s.Ha.assign(nbuf, 0);
-  s.Hb.assign(nbuf, 0);
-  s.E.assign(nbuf, 0);
-  int32_t* Hold = s.Ha.data();
-  int32_t* Hnew = s.Hb.data();
-  if (rowmax) rowmax->assign(rows, 0);
-  for (int64_t i = 0; i < rows; ++i) {
-    int32_t rmax =
-        sw_row_core(&s.prof[(size_t)t[i] * qlen], qlen, Hold, Hnew, s.E.data(),
-                    oe_del, e_del, oe_ins, e_ins);
-    if (rowmax) (*rowmax)[i] = rmax;
-    std::swap(Hold, Hnew);
-  }
-  *Hout = Hold;  // last completed row
-}
-
-static int64_t sw_row_argmax(const int8_t* mat, const uint8_t* q, int64_t qlen,
-                             const uint8_t* t, int32_t oe_del, int32_t e_del,
-                             int32_t oe_ins, int32_t e_ins, int64_t row,
-                             SwScratch& s) {
-  const int32_t* H;
-  sw_run(mat, q, qlen, t, row + 1, oe_del, e_del, oe_ins, e_ins, s, nullptr,
-         &H);
+// first-maximum column of a completed row (H[1..qlen] -> query index),
+// the exact tie-break of the old row-rerun formulation
+static inline int64_t row_first_argmax(const int32_t* H, int64_t qlen) {
   int32_t best = H[1];
   int64_t arg = 0;
   for (int64_t j = 2; j <= qlen; ++j)
@@ -822,11 +790,33 @@ static SwHit sw_local(const int8_t* mat, const uint8_t* qseq, int64_t qlen,
   if (qlen == 0 || tlen == 0) return r;
   int32_t oe_del = (int32_t)(o_del + e_del), oe_ins = (int32_t)(o_ins + e_ins);
   static thread_local SwScratch s;
-  std::vector<int64_t> rowmax;
-  const int32_t* Hlast;
-  sw_run(mat, qseq, qlen, tseq, tlen, oe_del, (int32_t)e_del, oe_ins,
-         (int32_t)e_ins, s, &rowmax, &Hlast);
-  int64_t gmax = 0, te = -1;
+  // forward pass, tracking (gmax, te, qe) on the fly: a row that improves
+  // the running max gets an O(qlen) argmax scan of its completed values —
+  // this replaces the old from-scratch DP re-run of rows [0, te]
+  s.prof.resize((size_t)5 * qlen);
+  for (int k = 0; k < 5; ++k)
+    for (int64_t j = 0; j < qlen; ++j)
+      s.prof[(size_t)k * qlen + j] = mat[k * 5 + qseq[j]];
+  size_t nbuf = (size_t)qlen + 9;
+  s.Ha.assign(nbuf, 0);
+  s.Hb.assign(nbuf, 0);
+  s.E.assign(nbuf, 0);
+  int32_t* Hold = s.Ha.data();
+  int32_t* Hnew = s.Hb.data();
+  std::vector<int64_t> rowmax((size_t)tlen);
+  int64_t gmax = 0, te = -1, qe = -1;
+  for (int64_t i = 0; i < tlen; ++i) {
+    int32_t rmax = sw_row_core(&s.prof[(size_t)tseq[i] * qlen], qlen, Hold,
+                               Hnew, s.E.data(), oe_del, (int32_t)e_del,
+                               oe_ins, (int32_t)e_ins);
+    rowmax[i] = rmax;
+    if (rmax > gmax) {
+      gmax = rmax;
+      te = i;
+      qe = row_first_argmax(Hnew, qlen);
+    }
+    std::swap(Hold, Hnew);
+  }
   std::vector<int64_t> bscores, brows;
   for (int64_t i = 0; i < tlen; ++i) {
     int64_t imax = rowmax[i];
@@ -839,16 +829,11 @@ static SwHit sw_local(const int8_t* mat, const uint8_t* qseq, int64_t qlen,
         brows.back() = i;
       }
     }
-    if (imax > gmax) {
-      gmax = imax;
-      te = i;
-    }
   }
   if (gmax == 0) return r;
   r.score = gmax;
   r.te = te;
-  r.qe = sw_row_argmax(mat, qseq, qlen, tseq, oe_del, (int32_t)e_del, oe_ins,
-                       (int32_t)e_ins, te, s);
+  r.qe = qe;
   int64_t low = te - qlen, high = te + qlen;
   for (size_t k = 0; k < bscores.size(); ++k) {
     if ((brows[k] < low || brows[k] > high) && bscores[k] > r.score2) {
@@ -856,23 +841,33 @@ static SwHit sw_local(const int8_t* mat, const uint8_t* qseq, int64_t qlen,
       r.te2 = brows[k];
     }
   }
-  // start via reverse pass stopping at the known score
+  // start via reverse pass, stopping at the FIRST row reaching the known
+  // score (the old code ran all te+1 rows, then re-ran rows for the argmax)
   std::vector<uint8_t> rq(qseq, qseq + r.qe + 1), rt(tseq, tseq + r.te + 1);
   std::reverse(rq.begin(), rq.end());
   std::reverse(rt.begin(), rt.end());
-  std::vector<int64_t> rmax2;
-  const int32_t* H2;
-  sw_run(mat, rq.data(), (int64_t)rq.size(), rt.data(), (int64_t)rt.size(),
-         oe_del, (int32_t)e_del, oe_ins, (int32_t)e_ins, s, &rmax2, &H2);
+  int64_t rql = (int64_t)rq.size();
+  s.prof.resize((size_t)5 * rql);
+  for (int k = 0; k < 5; ++k)
+    for (int64_t j = 0; j < rql; ++j)
+      s.prof[(size_t)k * rql + j] = mat[k * 5 + rq[j]];
+  nbuf = (size_t)rql + 9;
+  s.Ha.assign(nbuf, 0);
+  s.Hb.assign(nbuf, 0);
+  s.E.assign(nbuf, 0);
+  Hold = s.Ha.data();
+  Hnew = s.Hb.data();
   for (int64_t i = 0; i < (int64_t)rt.size(); ++i) {
-    if (rmax2[i] == gmax) {
-      int64_t jrev = sw_row_argmax(mat, rq.data(), (int64_t)rq.size(),
-                                   rt.data(), oe_del, (int32_t)e_del, oe_ins,
-                                   (int32_t)e_ins, i, s);
+    int32_t rmax = sw_row_core(&s.prof[(size_t)rt[i] * rql], rql, Hold, Hnew,
+                               s.E.data(), oe_del, (int32_t)e_del, oe_ins,
+                               (int32_t)e_ins);
+    if (rmax == gmax) {
+      int64_t jrev = row_first_argmax(Hnew, rql);
       r.tb = r.te - i;
       r.qb = r.qe - jrev;
       break;
     }
+    std::swap(Hold, Hnew);
   }
   return r;
 }
