@@ -110,22 +110,23 @@ def collect_intv_rbegs_batch_device(
     qseq, qlen_j, B, L = _pad_batch(reads, place, dtype=np.int8)
     _metrics.count("device_seed_fused_batches")
     r_per_read, f_per_read = 64, 24
-    meta_d, flat_d, extra_d = seed_sa_fused(
+    flat_d, extra_d = seed_sa_fused(
         dfm, qseq, qlen_j,
         min_seed_len=opt.min_seed_len, split_len=opt.split_len,
         split_width=opt.split_width, max_mem_intv=int(opt.max_mem_intv),
         max_occ=opt.max_occ, M=M_SLOTS, r_per_read=r_per_read,
         f_per_read=f_per_read,
     )
-    meta, flat, extra = jax.device_get((meta_d, flat_d, extra_d))
-    meta = np.asarray(meta, dtype=np.int64)
+    flat, extra = jax.device_get((flat_d, extra_d))
     flat = np.asarray(flat, dtype=np.int64)
     extra = np.asarray(extra, dtype=np.int64)
+    R_cap = B * r_per_read
+    meta = extra[R_cap + 2 :]
     n_m = meta & 0xFFFF
     ovf = (meta >> 16) != 0
-    rbegs_flat = extra[:-2]
-    total_rbegs = int(extra[-2])
-    total_mems = int(extra[-1])
+    rbegs_flat = extra[:R_cap]
+    total_rbegs = int(extra[R_cap])
+    total_mems = int(extra[R_cap + 1])
     r_ovf = total_rbegs > B * r_per_read
     mem_ovf = total_mems > B * f_per_read
     if mem_ovf:

@@ -253,6 +253,67 @@ def _frac_rep(opt: MemOptions, intervals, qlen: int) -> float:
     return l_rep / qlen if qlen else 0.0
 
 
+_CTG_CACHE: dict = {}
+
+
+def _ctg_cache(bns, mesh):
+    """Device-resident contig tables, uploaded once per (index, mesh) —
+    re-uploading per batch costs link round trips on relay hosts."""
+    key = (id(bns), None if mesh is None else id(mesh))
+    ent = _CTG_CACHE.get(key)
+    if ent is None:
+        ctg_end = np.asarray(
+            [a.offset + a.length for a in bns.anns], dtype=np.int32
+        )
+        ctg_alt = np.asarray([a.is_alt for a in bns.anns], dtype=np.int32)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            ctg_end, ctg_alt = replicate(mesh, ctg_end, ctg_alt)
+        else:
+            ctg_end, ctg_alt = jnp.asarray(ctg_end), jnp.asarray(ctg_alt)
+        ent = _CTG_CACHE[key] = (ctg_end, ctg_alt)
+    return ent
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "S", "C", "l_pac", "w", "max_chain_gap", "min_chain_weight",
+        "min_seed_len", "max_chain_extend", "mask_level", "drop_ratio",
+    ),
+)
+def _chain_entry(
+    packed, ctg_end, ctg_alt, *, S: int, C: int, l_pac: int, w: int,
+    max_chain_gap: int, min_chain_weight: int, min_seed_len: int,
+    max_chain_extend: int, mask_level: float, drop_ratio: float,
+):
+    """One-upload chain step: packed [B, 3S+2] = rbeg | qbeg | slen |
+    (nseed, qlen); scalars are compile-time constants (zero per-call
+    transfers); outputs collapse to (assign [B,S], out2 [B, 6C+2]) — TWO
+    pulls per batch."""
+    rbeg = packed[:, :S]
+    qbeg = packed[:, S : 2 * S]
+    slen = packed[:, 2 * S : 3 * S]
+    nseed = packed[:, 3 * S]
+    qlen = packed[:, 3 * S + 1]
+    assign, crid, weight, nch, order, kept, first, emit, ovf = chain_kernel(
+        rbeg, qbeg, slen, nseed, qlen, ctg_end, ctg_alt,
+        jnp.int32(w), jnp.int32(max_chain_gap), jnp.int32(min_chain_weight),
+        jnp.int32(min_seed_len), jnp.int32(max_chain_extend),
+        jnp.float32(mask_level), jnp.float32(drop_ratio),
+        S=S, C=C, l_pac=l_pac,
+    )
+    out2 = jnp.concatenate(
+        [
+            crid, weight, order, kept, first, emit.astype(jnp.int32),
+            nch[:, None], ovf.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+    return assign, out2
+
+
 def chains_device_batch(
     opt: MemOptions,
     fm,
@@ -308,51 +369,56 @@ def chains_device_batch(
     if host_all:
         S = _S_BUCKETS[0]  # kernel still runs for the small reads
 
-    rbeg = np.zeros((B, S), np.int32)
-    qbeg = np.zeros((B, S), np.int32)
-    slen = np.zeros((B, S), np.int32)
-    nseed = np.zeros(B, np.int32)
-    qlen = np.zeros(B, np.int32)
+    # ONE packed upload per batch: rbeg | qbeg | slen | nseed | qlen
+    packed = np.zeros((B, 3 * S + 2), np.int32)
     host_fb = np.zeros(n, bool)
     for i, arr in enumerate(seeds_np):
         if len(arr) > S:
             host_fb[i] = True
             continue
-        rbeg[i, : len(arr)] = arr[:, 0]
-        qbeg[i, : len(arr)] = arr[:, 1]
-        slen[i, : len(arr)] = arr[:, 2]
-        nseed[i] = len(arr)
-        qlen[i] = len(reads[i])
+        packed[i, : len(arr)] = arr[:, 0]
+        packed[i, S : S + len(arr)] = arr[:, 1]
+        packed[i, 2 * S : 2 * S + len(arr)] = arr[:, 2]
+        packed[i, 3 * S] = len(arr)
+        packed[i, 3 * S + 1] = len(reads[i])
 
-    ctg_end = np.asarray(
-        [a.offset + a.length for a in bns.anns], dtype=np.int32
-    )
-    ctg_alt = np.asarray([a.is_alt for a in bns.anns], dtype=np.int32)
-
-    # host copies for the result-assembly loop (the sharded device arrays
-    # must not be read back element-wise)
-    rbeg_h, qbeg_h, slen_h, nseed_h = rbeg, qbeg, slen, nseed
-    if mesh is not None:
-        from ..parallel.mesh import replicate, shard_batch
-
-        rbeg, qbeg, slen, nseed, qlen = shard_batch(
-            mesh, rbeg, qbeg, slen, nseed, qlen
-        )
-        ctg_end, ctg_alt = replicate(mesh, ctg_end, ctg_alt)
+    # host copies for the result-assembly loop (the device arrays must
+    # not be read back element-wise)
+    rbeg_h = packed[:, :S]
+    qbeg_h = packed[:, S : 2 * S]
+    slen_h = packed[:, 2 * S : 3 * S]
+    nseed_h = packed[:, 3 * S]
+    ctg_end_d, ctg_alt_d = _ctg_cache(bns, mesh)
     import jax
 
-    (assign, crid, weight, nch, order, kept, first, emit, ovf) = jax.device_get(
-        chain_kernel(
-            jnp.asarray(rbeg), jnp.asarray(qbeg), jnp.asarray(slen),
-            jnp.asarray(nseed), jnp.asarray(qlen),
-            jnp.asarray(ctg_end), jnp.asarray(ctg_alt),
-            jnp.int32(opt.w), jnp.int32(opt.max_chain_gap),
-            jnp.int32(opt.min_chain_weight), jnp.int32(opt.min_seed_len),
-            jnp.int32(opt.max_chain_extend),
-            jnp.float32(opt.mask_level), jnp.float32(opt.drop_ratio),
-            S=S, C=C, l_pac=int(bns.l_pac),
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        packed_d = jax.device_put(
+            packed, NamedSharding(mesh, P(tuple(mesh.axis_names), None))
+        )
+    else:
+        packed_d = jnp.asarray(packed)
+    (assign, out2) = jax.device_get(
+        _chain_entry(
+            packed_d, ctg_end_d, ctg_alt_d,
+            S=S, C=C, l_pac=int(bns.l_pac), w=int(opt.w),
+            max_chain_gap=int(opt.max_chain_gap),
+            min_chain_weight=int(opt.min_chain_weight),
+            min_seed_len=int(opt.min_seed_len),
+            max_chain_extend=int(opt.max_chain_extend),
+            mask_level=float(opt.mask_level),
+            drop_ratio=float(opt.drop_ratio),
         )
     )
+    crid = out2[:, :C]
+    weight = out2[:, C : 2 * C]
+    order = out2[:, 2 * C : 3 * C]
+    kept = out2[:, 3 * C : 4 * C]
+    first = out2[:, 4 * C : 5 * C]
+    emit = out2[:, 5 * C : 6 * C] != 0
+    nch = out2[:, 6 * C]
+    ovf = out2[:, 6 * C + 1] != 0
 
     out: List[List[Chain]] = []
     for i in range(n):
@@ -384,7 +450,7 @@ def chains_device_batch(
             c = Chain(
                 rid=int(crid[i, slot]),
                 seeds=per_slot[slot],
-                is_alt=int(ctg_alt[crid[i, slot]]),
+                is_alt=int(bns.anns[crid[i, slot]].is_alt),
                 frac_rep=frac,
                 w=int(weight[i, slot]),
                 kept=int(kept[i, j]),

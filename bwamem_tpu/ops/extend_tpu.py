@@ -237,6 +237,57 @@ def _pallas_wave_ok(Q: int, max_sc: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
+_WAVE_KEYS = ("gscore", "gtle", "max_off", "qle", "score", "tle")
+_MAT_CACHE: dict = {}
+
+
+def _device_mat(mat5: np.ndarray):
+    """Constant-cache the scoring matrix's device buffer: re-uploading it
+    per wave costs a full link round trip on relay-class hosts."""
+    key = mat5.tobytes()
+    ent = _MAT_CACHE.get(key)
+    if ent is None:
+        ent = _MAT_CACHE[key] = jnp.asarray(mat5)
+    return ent
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "Q", "T", "o_del", "e_del", "o_ins", "e_ins", "zdrop", "max_sc",
+        "use_pallas", "interpret",
+    ),
+)
+def _wave_entry(
+    packed, mat, Q: int, T: int, o_del, e_del, o_ins, e_ins, zdrop, max_sc,
+    use_pallas: bool, interpret: bool,
+):
+    """One-upload wave: packed [B, Q+T+5] int32 = qa | ta | (qlen, tlen,
+    h0, w, bonus); returns the results stacked [6, B] in _WAVE_KEYS order
+    — ONE pull.  Slicing happens inside the jit so the host never issues
+    per-field transfers."""
+    qa = packed[:, :Q]
+    ta = packed[:, Q : Q + T]
+    qlen = packed[:, Q + T]
+    tlen = packed[:, Q + T + 1]
+    h0 = packed[:, Q + T + 2]
+    w = packed[:, Q + T + 3]
+    bon = packed[:, Q + T + 4]
+    if use_pallas:
+        from .extend_pallas import ksw_extend_pallas
+
+        out = ksw_extend_pallas(
+            qa, ta, qlen, tlen, h0, w, bon, mat, o_del, e_del, o_ins,
+            e_ins, zdrop, max_sc, interpret=interpret,
+        )
+    else:
+        out = ksw_extend_batch(
+            qa, ta, qlen, tlen, h0, w, bon, mat, o_del, e_del, o_ins,
+            e_ins, zdrop, max_sc,
+        )
+    return jnp.stack([out[k] for k in _WAVE_KEYS])
+
+
 def ksw_extend_batch_np(
     qseqs, tseqs, mat, opt_params, h0s, ws, bonuses, bucket_q=None,
     bucket_t=None, mesh=None,
@@ -244,64 +295,44 @@ def ksw_extend_batch_np(
     """Host wrapper: list of numpy (qseq, tseq) jobs -> list of result dicts.
 
     mesh (explicit, preferred) or the active_mesh context shards the wave's
-    batch dimension over the mesh devices."""
+    batch dimension over the mesh devices.  The whole wave is ONE host->
+    device transfer (a packed [B, Q+T+5] array), one dispatch, and ONE
+    device->host pull (the [6, B] stacked results)."""
     o_del, e_del, o_ins, e_ins, zdrop = opt_params
     B = len(qseqs)
     Q = max(bucket_q or 0, max((len(q) for q in qseqs), default=1), 1)
     T = max(bucket_t or 0, max((len(t) for t in tseqs), default=1), 1)
-    qa = np.zeros((B, Q), dtype=np.int32)
-    ta = np.zeros((B, T), dtype=np.int32)
-    qlen = np.zeros(B, dtype=np.int32)
-    tlen = np.zeros(B, dtype=np.int32)
+    packed = np.zeros((B, Q + T + 5), dtype=np.int32)
     for i, (q, t) in enumerate(zip(qseqs, tseqs)):
-        qa[i, : len(q)] = q
-        ta[i, : len(t)] = t
-        qlen[i] = len(q)
-        tlen[i] = len(t)
+        packed[i, : len(q)] = q
+        packed[i, Q : Q + len(t)] = t
+        packed[i, Q + T] = len(q)
+        packed[i, Q + T + 1] = len(t)
+    packed[:, Q + T + 2] = h0s
+    packed[:, Q + T + 3] = ws
+    packed[:, Q + T + 4] = bonuses
     mat5 = np.asarray(mat, dtype=np.int32).reshape(5, 5)
-    batch_args = [
-        qa, ta, qlen, tlen,
-        np.asarray(h0s, dtype=np.int32),
-        np.asarray(ws, dtype=np.int32),
-        np.asarray(bonuses, dtype=np.int32),
-    ]
     if mesh is None:
         mesh = _ACTIVE_MESH
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
-        shard1 = NamedSharding(mesh, P(axes))
-        shard2 = NamedSharding(mesh, P(axes, None))
-        placed = [
-            jax.device_put(
-                jnp.asarray(v), shard2 if v.ndim == 2 else shard1
-            )
-            for v in batch_args
-        ]
+        packed_d = jax.device_put(
+            packed, NamedSharding(mesh, P(axes, None))
+        )
     else:
-        placed = [jnp.asarray(v) for v in batch_args]
+        packed_d = jnp.asarray(packed)
     max_sc = int(mat5.max())
-    if mesh is None and _pallas_wave_ok(Q, max_sc):
-        from .extend_pallas import ksw_extend_pallas
-
-        out = ksw_extend_pallas(
-            *placed, jnp.asarray(mat5), o_del, e_del, o_ins, e_ins, zdrop,
-            max_sc, interpret=jax.default_backend() != "tpu",
+    use_pallas = mesh is None and _pallas_wave_ok(Q, max_sc)
+    stacked = np.asarray(
+        _wave_entry(
+            packed_d, _device_mat(mat5), Q, T, o_del, e_del, o_ins, e_ins,
+            zdrop, max_sc, use_pallas,
+            interpret=use_pallas and jax.default_backend() != "tpu",
         )
-    else:
-        out = ksw_extend_batch(
-            *placed,
-            jnp.asarray(mat5),
-            o_del, e_del, o_ins, e_ins, zdrop,
-            max_sc,
-        )
-    # ONE device pull per wave: stack the result fields into a single
-    # [K, B] array instead of pulling each field separately (each pull is
-    # a full link round trip on relay-class hosts)
-    keys = sorted(out)
-    stacked = np.asarray(jnp.stack([out[k] for k in keys]))
+    )
     return [
-        {k: int(stacked[j, i]) for j, k in enumerate(keys)}
+        {k: int(stacked[j, i]) for j, k in enumerate(_WAVE_KEYS)}
         for i in range(B)
     ]

@@ -216,12 +216,14 @@ def seed_sa_fused_body(
         lines, L2, sa, ks, primary, seq_len, sa_intv, span
     )
 
-    # ---- pack: meta [B] i32 + flat [F_cap, 4] + tail — ONE pull ---------
-    meta = n + (ovf.astype(jnp.int32) << 16)
+    # ---- pack: flat [F_cap, 4] + ONE tail vector [R_cap + 2 + B] --------
+    # (rbegs | total_rbegs | total_mems | per-read n+ovf meta): the whole
+    # batch decodes from exactly TWO pulled arrays
+    meta = (n + (ovf.astype(jnp.int32) << 16)).astype(cdt)
     extra = jnp.concatenate(
-        [rbegs, total[None].astype(cdt), total_mems[None].astype(cdt)]
+        [rbegs, total[None].astype(cdt), total_mems[None].astype(cdt), meta]
     )
-    return meta, flat, extra
+    return flat, extra
 
 
 _seed_sa_fused_kernel = partial(
@@ -241,9 +243,8 @@ def seed_sa_fused(
 ):
     """One-dispatch seeding+SA for a padded [B, L] int8 batch.
 
-    Returns (meta [B] i32, flat [F_cap, 4], extra [R_cap+2]) device
-    arrays; see engine/seed_device.py::collect_intv_rbegs_batch_device
-    for the decode.
+    Returns (flat [F_cap, 4], extra [R_cap + 2 + B]) device arrays; see
+    engine/seed_device.py::collect_intv_rbegs_batch_device for the decode.
     """
     B = qseq.shape[0]
     R_cap = B * r_per_read
