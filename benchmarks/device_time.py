@@ -201,56 +201,74 @@ def main():
               flush=True)
 
     # ---- full three-round-capable SMEM wave (150bp reads) ----
-    B2, L2v = 1024, 150
-    reads = np.empty((B2, L2v), dtype=np.int32)
-    for i in range(B2):
-        s0 = int(rng.integers(0, 1_000_000 - L2v))
-        reads[i] = codes[s0:s0 + L2v]
-    qs = jnp.asarray(reads)
-    qls = jnp.full(B2, L2v, jnp.int32)
-    xs = jnp.zeros(B2, jnp.int32)
+    # Two wave sizes: 1024 (r03 comparison point) and 8192 (the serial
+    # cursor ticks' per-op overhead amortizes over lanes; production
+    # batches are the larger shape).
+    for B2 in (1024, 8192):
+        L2v = 150
+        reads = np.empty((B2, L2v), dtype=np.int32)
+        for i in range(B2):
+            s0 = int(rng.integers(0, 1_000_000 - L2v))
+            reads[i] = codes[s0:s0 + L2v]
+        qs = jnp.asarray(reads)
+        qls = jnp.full(B2, L2v, jnp.int32)
+        xs = jnp.zeros(B2, jnp.int32)
 
-    def make_smem(K):
-        @jax.jit
-        def run():
-            def body(_, c):
-                ret, *_rest, m_cnt, ovf = smem1a_batch_kernel(
-                    dfm.lines, dfm.L2, qs, qls,
-                    xs + jnp.minimum(c, 0), jnp.ones(B2, jnp.int32),
-                    dfm.primary, dfm.seq_len, dfm.span,
-                )
-                return c + ret[0]
-            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
-        return run
+        def make_smem(K):
+            @jax.jit
+            def run():
+                def body(_, c):
+                    ret, *_rest, m_cnt, ovf = smem1a_batch_kernel(
+                        dfm.lines, dfm.L2, qs, qls,
+                        xs + jnp.minimum(c, 0), jnp.ones(B2, jnp.int32),
+                        dfm.primary, dfm.seq_len, dfm.span,
+                    )
+                    return c + ret[0]
+                return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+            return run
 
-    dt = slope_time(make_smem, 2, 8)
-    results["smem1a_dev_ms"] = round(dt * 1e3, 3)
-    results["smem1a_dev_starts_s"] = round(B2 / dt, 0)
-    print(f"smem1a B={B2}: {dt*1e3:8.3f} ms/iter  {B2/dt:9.0f} starts/s",
-          flush=True)
+        dt = slope_time(make_smem, 2, 8)
+        suffix = "" if B2 == 1024 else f"_b{B2}"
+        results[f"smem1a_dev_ms{suffix}"] = round(dt * 1e3, 3)
+        results[f"smem1a_dev_starts_s{suffix}"] = round(B2 / dt, 0)
+        print(f"smem1a B={B2}: {dt*1e3:8.3f} ms/iter  {B2/dt:9.0f} starts/s",
+              flush=True)
 
-    # ---- sampled-SA lockstep walks ----
-    NS = 1 << 14
-    krows = jnp.asarray(rng.integers(1, fm.seq_len, NS).astype(np.int32))
+    # ---- sampled-SA compaction-ladder walks ----
+    # sa_intv=32 (bwa default; r03 comparison point) and 8 (this repo's
+    # bench/production default since r04 — pure space/time knob).
+    for intv in (32, 8):
+        if intv == fm.sa_intv:
+            sa_dev, sl = dfm.sa, fm.seq_len
+        else:
+            from bwamem_tpu.index.build import build_index as _bi
+            fm8 = FMIndex(_bi(
+                Fasta([FastaContig("c", "", codes)]), sa_intv=intv
+            ))
+            dfm8 = DeviceFMIndex.from_host(fm8)
+            sa_dev, sl = dfm8.sa, fm8.seq_len
+        NS = 1 << 14
+        krows = jnp.asarray(rng.integers(1, sl, NS).astype(np.int32))
 
-    def make_sa(K):
-        @jax.jit
-        def run():
-            def body(_, c):
-                res = sa_lookup_kernel(
-                    dfm.lines, dfm.L2, dfm.sa,
-                    jnp.clip(krows + jnp.minimum(c, 0), 1, fm.seq_len - 1),
-                    dfm.primary, dfm.seq_len, dfm.sa_intv, dfm.span,
-                )
-                return c + jnp.maximum(res[0], 0).astype(jnp.int32)
-            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
-        return run
+        def make_sa(K):
+            @jax.jit
+            def run():
+                def body(_, c):
+                    res = sa_lookup_kernel(
+                        dfm.lines, dfm.L2, sa_dev,
+                        jnp.clip(krows + jnp.minimum(c, 0), 1, sl - 1),
+                        dfm.primary, sl, intv, dfm.span,
+                    )
+                    return c + jnp.maximum(res[0], 0).astype(jnp.int32)
+                return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+            return run
 
-    dt = slope_time(make_sa, 2, 8)
-    results["sa_lookup_dev_ms"] = round(dt * 1e3, 3)
-    results["sa_lookup_dev_mquery_s"] = round(NS / dt / 1e6, 3)
-    print(f"sa_lookup N={NS}: {dt*1e3:8.3f} ms/iter  {NS/dt/1e6:8.3f} Mq/s",
-          flush=True)
+        dt = slope_time(make_sa, 2, 8)
+        suffix = "" if intv == 32 else f"_intv{intv}"
+        results[f"sa_lookup_dev_ms{suffix}"] = round(dt * 1e3, 3)
+        results[f"sa_lookup_dev_mquery_s{suffix}"] = round(NS / dt / 1e6, 3)
+        print(f"sa_lookup N={NS} intv={intv}: {dt*1e3:8.3f} ms/iter  "
+              f"{NS/dt/1e6:8.3f} Mq/s", flush=True)
 
     if "--json" in sys.argv:
         import json

@@ -108,6 +108,21 @@ _M33 = jnp.uint32(0x33333333)
 _M0F = jnp.uint32(0x0F0F0F0F)
 
 
+def _select_col(mat, idx):
+    """mat[i, idx[i]] as a W-way vectorized select, not a gather.
+
+    TPU gathers cost a full row-gather per row regardless of width; for
+    the small fixed widths here (4 count columns, span//16 words) a chain
+    of ``where`` ops is pure VPU work and ~free next to the line gather.
+    mat: [N, W] (or [N, W] broadcastable); idx: [N] int32 in [0, W).
+    """
+    W = mat.shape[1]
+    out = mat[:, 0]
+    for w in range(1, W):
+        out = jnp.where(idx == w, mat[:, w], out)
+    return out
+
+
 def _popcount32(x):
     x = x - ((x >> jnp.uint32(1)) & _M55)
     x = (x & _M33) + ((x >> jnp.uint32(2)) & _M33)
@@ -301,13 +316,11 @@ def _sa_tick(lines, L2, k, steps, act, primary, span):
     # inclusive count offset — identical row except at k == primary,
     # where the result is masked anyway)
     wc = within - 1
-    word = jnp.take_along_axis(row, 4 + (wc >> 4)[:, None], axis=1)[:, 0]
+    word = _select_col(row[:, 4:], wc >> 4)
     shift = (jnp.uint32(30) - jnp.uint32(2) * (wc & 15).astype(jnp.uint32))
     c = ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
     base = jax.lax.bitcast_convert_type(row[:, :4], jnp.int32)
-    cnt = jnp.take_along_axis(base, c[:, None], axis=1)[:, 0] + _block_count1(
-        row[:, 4:], within, c
-    )
+    cnt = _select_col(base, c) + _block_count1(row[:, 4:], within, c)
     nk = L2[c] + cnt.astype(k.dtype)
     nk = jnp.where(at_p, 0, nk)
     k = jnp.where(act, nk, k)
@@ -351,16 +364,18 @@ def sa_lookup_body(
 
         return jax.lax.while_loop(cond, body, (k, steps))
 
-    # ladder: 2*intv lockstep ticks, then pack unfinished lanes into a
-    # B//4 slice (another fori round), then a B//16 slice run to
-    # completion — total gather work tracks SUM of steps instead of
-    # lockstep's MAX x batch.  A final full-width while_loop is the
+    # ladder: intv lockstep ticks at full width (survivor fraction
+    # ~(1-1/intv)^intv ~ e^-1), then pack the unfinished lanes into a
+    # half-width slice, quarter, sixteenth — another intv ticks each — so
+    # total gather work tracks SUM of steps instead of lockstep's
+    # MAX x batch, with ~2x safety margin at every pack (e^-1 < 1/2,
+    # e^-2 < 1/4, e^-3 < 1/16).  A final full-width while_loop is the
     # correctness net for the rare case a slice overflowed (its cond is
     # simply false when the ladder finished everything).
-    k, steps = run_fori(2 * sa_intv, k, steps)
+    k, steps = run_fori(sa_intv, k, steps)
     orig = jnp.arange(B, dtype=jnp.int32)
     cur = jnp.arange(B, dtype=jnp.int32)
-    widths = [w for w in (B // 4, B // 16) if w >= 256]
+    widths = [w for w in (B // 2, B // 4, B // 16) if w >= 256]
     for i, width in enumerate(widths):
         unfin = (k % sa_intv) != 0
         n_unfin = unfin.sum()
@@ -378,7 +393,7 @@ def sa_lookup_body(
         last = i == len(widths) - 1
 
         def stage(kw, sw, last=last):
-            kw, sw = run_fori(2 * sa_intv, kw, sw)
+            kw, sw = run_fori(sa_intv, kw, sw)
             if last:
                 kw, sw = run_while(kw, sw)
             return kw, sw

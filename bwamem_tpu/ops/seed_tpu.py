@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .fmindex_tpu import DeviceFMIndex, _extend_core, occ4_device
+from .fmindex_tpu import DeviceFMIndex, _extend_core, _select_col, occ4_device
 
 
 @partial(jax.jit, static_argnames=("primary", "seq_len", "span"))
@@ -120,10 +120,10 @@ def strategy1_body(
         new_o, new_q, sz = _extend_core(
             lines, L2, x0, x1, s, primary, seq_len, span, is_back=False
         )
-        ci = (3 - jnp.clip(c, 0, 3))[:, None]  # bwa ok[] index for append
-        nx0 = jnp.take_along_axis(new_o, ci, axis=1)[:, 0]
-        nx1 = jnp.take_along_axis(new_q, ci, axis=1)[:, 0]
-        ns = jnp.take_along_axis(sz, ci, axis=1)[:, 0]
+        ci = 3 - jnp.clip(c, 0, 3)  # bwa ok[] index for append
+        nx0 = _select_col(new_o, ci)
+        nx1 = _select_col(new_q, ci)
+        ns = _select_col(sz, ci)
         hit = valid & (ns < max_intv) & ((x + 1 + i) - x >= min_len)
         newly = hit & ~found
         found = found | newly

@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .fmindex_tpu import DeviceFMIndex, _extend_core
+from .fmindex_tpu import DeviceFMIndex, _extend_core, _select_col
 
 K_SLOTS = 24  # max forward interval snapshots / SMEMs per start
 
@@ -82,10 +82,10 @@ def smem1a_body(
         c = qseq[lane, jnp.clip(pos, 0, L - 1)]
         stop_a = alive & (~in_len | (c > 3))  # N/boundary: append ik, stop
         nx0, nx1, nsz = ext(x0, x1, s, is_back=False)
-        ci = (3 - jnp.clip(c, 0, 3))[:, None]
-        ex0 = jnp.take_along_axis(nx0, ci, axis=1)[:, 0]
-        ex1 = jnp.take_along_axis(nx1, ci, axis=1)[:, 0]
-        es = jnp.take_along_axis(nsz, ci, axis=1)[:, 0]
+        ci = 3 - jnp.clip(c, 0, 3)
+        ex0 = _select_col(nx0, ci)
+        ex1 = _select_col(nx1, ci)
+        es = _select_col(nsz, ci)
         changed = alive & ~stop_a & (es != s)
         small = es < min_intv
         append = stop_a | changed
@@ -144,10 +144,10 @@ def smem1a_body(
         nx0f, nx1f, nszf = ext(
             px0.reshape(-1), px1.reshape(-1), ps.reshape(-1), is_back=True
         )
-        csel = jnp.repeat(c_idx, K_SLOTS)[:, None]
-        ax0 = jnp.take_along_axis(nx0f, csel, 1).reshape(B, K_SLOTS)
-        ax1 = jnp.take_along_axis(nx1f, csel, 1).reshape(B, K_SLOTS)
-        asz = jnp.take_along_axis(nszf, csel, 1).reshape(B, K_SLOTS)
+        csel = jnp.repeat(c_idx, K_SLOTS)
+        ax0 = _select_col(nx0f, csel).reshape(B, K_SLOTS)
+        ax1 = _select_col(nx1f, csel).reshape(B, K_SLOTS)
+        asz = _select_col(nszf, csel).reshape(B, K_SLOTS)
 
         def slot(j, carry):
             (cx0, cx1, cs, cinfo, ccnt, last_s, mx0, mx1, ms, mqb, mqe,
