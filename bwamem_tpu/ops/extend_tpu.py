@@ -259,20 +259,22 @@ def _device_mat(mat5: np.ndarray):
     ),
 )
 def _wave_entry(
-    packed, mat, Q: int, T: int, o_del, e_del, o_ins, e_ins, zdrop, max_sc,
-    use_pallas: bool, interpret: bool,
+    seqs8, scal, mat, Q: int, T: int, o_del, e_del, o_ins, e_ins, zdrop,
+    max_sc, use_pallas: bool, interpret: bool,
 ):
-    """One-upload wave: packed [B, Q+T+5] int32 = qa | ta | (qlen, tlen,
-    h0, w, bonus); returns the results stacked [6, B] in _WAVE_KEYS order
-    — ONE pull.  Slicing happens inside the jit so the host never issues
-    per-field transfers."""
-    qa = packed[:, :Q]
-    ta = packed[:, Q : Q + T]
-    qlen = packed[:, Q + T]
-    tlen = packed[:, Q + T + 1]
-    h0 = packed[:, Q + T + 2]
-    w = packed[:, Q + T + 3]
-    bon = packed[:, Q + T + 4]
+    """One-wave entry: seqs8 [B, Q+T] int8 = qa | ta (codes 0-4; int8
+    quarters the host->device link bytes — the binding cost on relay-class
+    links) and scal [B, 5] int32 = (qlen, tlen, h0, w, bonus); returns the
+    results stacked [6, B] in _WAVE_KEYS order — ONE pull.  Slicing and
+    widening happen inside the jit so the host never issues per-field
+    transfers."""
+    qa = seqs8[:, :Q].astype(jnp.int32)
+    ta = seqs8[:, Q : Q + T].astype(jnp.int32)
+    qlen = scal[:, 0]
+    tlen = scal[:, 1]
+    h0 = scal[:, 2]
+    w = scal[:, 3]
+    bon = scal[:, 4]
     if use_pallas:
         from .extend_pallas import ksw_extend_pallas
 
@@ -302,15 +304,16 @@ def ksw_extend_batch_np(
     B = len(qseqs)
     Q = max(bucket_q or 0, max((len(q) for q in qseqs), default=1), 1)
     T = max(bucket_t or 0, max((len(t) for t in tseqs), default=1), 1)
-    packed = np.zeros((B, Q + T + 5), dtype=np.int32)
+    seqs8 = np.zeros((B, Q + T), dtype=np.int8)
+    scal = np.zeros((B, 5), dtype=np.int32)
     for i, (q, t) in enumerate(zip(qseqs, tseqs)):
-        packed[i, : len(q)] = q
-        packed[i, Q : Q + len(t)] = t
-        packed[i, Q + T] = len(q)
-        packed[i, Q + T + 1] = len(t)
-    packed[:, Q + T + 2] = h0s
-    packed[:, Q + T + 3] = ws
-    packed[:, Q + T + 4] = bonuses
+        seqs8[i, : len(q)] = q
+        seqs8[i, Q : Q + len(t)] = t
+        scal[i, 0] = len(q)
+        scal[i, 1] = len(t)
+    scal[:, 2] = h0s
+    scal[:, 3] = ws
+    scal[:, 4] = bonuses
     mat5 = np.asarray(mat, dtype=np.int32).reshape(5, 5)
     if mesh is None:
         mesh = _ACTIVE_MESH
@@ -318,17 +321,18 @@ def ksw_extend_batch_np(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
-        packed_d = jax.device_put(
-            packed, NamedSharding(mesh, P(axes, None))
-        )
+        sh = NamedSharding(mesh, P(axes, None))
+        seqs_d = jax.device_put(seqs8, sh)
+        scal_d = jax.device_put(scal, sh)
     else:
-        packed_d = jnp.asarray(packed)
+        seqs_d = jnp.asarray(seqs8)
+        scal_d = jnp.asarray(scal)
     max_sc = int(mat5.max())
     use_pallas = mesh is None and _pallas_wave_ok(Q, max_sc)
     stacked = np.asarray(
         _wave_entry(
-            packed_d, _device_mat(mat5), Q, T, o_del, e_del, o_ins, e_ins,
-            zdrop, max_sc, use_pallas,
+            seqs_d, scal_d, _device_mat(mat5), Q, T, o_del, e_del, o_ins,
+            e_ins, zdrop, max_sc, use_pallas,
             interpret=use_pallas and jax.default_backend() != "tpu",
         )
     )
