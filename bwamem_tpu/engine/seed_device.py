@@ -109,7 +109,11 @@ def collect_intv_rbegs_batch_device(
     place = _placer(mesh)
     qseq, qlen_j, B, L = _pad_batch(reads, place, dtype=np.int8)
     _metrics.count("device_seed_fused_batches")
-    r_per_read, f_per_read = 64, 24
+    # 16 covers typical seed loads with ~5x headroom (the cap is per-batch
+    # TOTAL, not per-read); overflow falls back to host SA walks per
+    # interval, so a repeat-heavy batch stays correct, just slower.  Walk
+    # lanes and the pulled tail array both scale with this.
+    r_per_read, f_per_read = 16, 24
     flat_d, extra_d = seed_sa_fused(
         dfm, qseq, qlen_j,
         min_seed_len=opt.min_seed_len, split_len=opt.split_len,

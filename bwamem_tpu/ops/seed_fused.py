@@ -51,10 +51,16 @@ def _append_wave(accs, n, ovf, wave, wcnt, active, min_seed_len, M):
     keep = valid & (vqe - vqb >= min_seed_len)
     dest = n[:, None] + jnp.cumsum(keep.astype(jnp.int32), axis=1) - keep
     dest = jnp.where(keep & (dest < M), dest, M)  # drop OOB
-    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
+    # one-hot compaction: each dest slot receives at most one kept element,
+    # so a masked [B, K, M] sum replaces 5 serialized TPU scatters
+    eq = dest[:, :, None] == jnp.arange(M)[None, None, :]  # [B, K, M]
+    hit = eq.any(axis=1)  # [B, M]
     out = tuple(
-        acc.at[rows, dest].set(
-            jnp.take_along_axis(w, k_c, axis=1), mode="drop"
+        jnp.where(
+            hit,
+            (jnp.take_along_axis(w, k_c, axis=1)[:, :, None]
+             * eq.astype(acc.dtype)).sum(axis=1, dtype=acc.dtype),
+            acc,
         )
         for acc, w in zip(accs, wave)
     )
@@ -161,13 +167,15 @@ def seed_sa_fused_body(
             )
             app = active & found & (fs > 0)
             dest = jnp.where(app & (n < M), n, M)
+            sel = marr == dest[:, None]  # dest == M never matches: drop
+            put = lambda r, v: jnp.where(sel, v.astype(r.dtype)[:, None], r)
             ax0, ax1, as_, aqb, aqe = accs
             accs = (
-                ax0.at[lane, dest].set(fx0, mode="drop"),
-                ax1.at[lane, dest].set(fx1, mode="drop"),
-                as_.at[lane, dest].set(fs, mode="drop"),
-                aqb.at[lane, dest].set(x.astype(jnp.int32), mode="drop"),
-                aqe.at[lane, dest].set(fqe, mode="drop"),
+                put(ax0, fx0),
+                put(ax1, fx1),
+                put(as_, fs),
+                put(aqb, x.astype(jnp.int32)),
+                put(aqe, fqe),
             )
             ovf = ovf | (app & (n >= M))
             n = n + app.astype(jnp.int32)

@@ -89,9 +89,11 @@ def smem1a_body(
         changed = alive & ~stop_a & (es != s)
         small = es < min_intv
         append = stop_a | changed
+        # one-hot slot write: per-row scatters serialize on TPU, a K-wide
+        # masked select is pure VPU work (r04: ~4 scatters/tick removed)
         idx = jnp.clip(cnt, 0, K_SLOTS - 1)
-        old = lambda r: r[lane, idx]
-        put = lambda r, v: r.at[lane, idx].set(jnp.where(append, v, old(r)))
+        sel = (jnp.arange(K_SLOTS)[None, :] == idx[:, None]) & append[:, None]
+        put = lambda r, v: jnp.where(sel, v.astype(r.dtype)[:, None], r)
         rx0, rx1, rs, rinfo = (
             put(rx0, x0), put(rx1, x1), put(rs, s), put(rinfo, info),
         )
@@ -159,20 +161,20 @@ def smem1a_body(
             ex0, ex1, es = ax0[:, j], ax1[:, j], asz[:, j]
             dead = valid & (~have_c | (es < min_intv))
             emit = dead & (ccnt == 0) & ((m_cnt == 0) | (i + 1 < last_qb))
+            karr = jnp.arange(K_SLOTS)[None, :]
             midx = jnp.clip(m_cnt, 0, K_SLOTS - 1)
-            putm = lambda r, v: r.at[lane, midx].set(
-                jnp.where(emit, v, r[lane, midx])
-            )
+            selm = (karr == midx[:, None]) & emit[:, None]
+            putm = lambda r, v: jnp.where(selm, v.astype(r.dtype)[:, None], r)
             mx0, mx1, ms = putm(mx0, p_x0), putm(mx1, p_x1), putm(ms, p_s)
-            mqb, mqe = putm(mqb, i + 1), putm(mqe, p_info)
+            mqb = putm(mqb, jnp.broadcast_to(i + 1, emit.shape))
+            mqe = putm(mqe, p_info)
             ovf = ovf | (emit & (m_cnt >= K_SLOTS))
             last_qb = jnp.where(emit, i + 1, last_qb)
             m_cnt = m_cnt + emit.astype(jnp.int32)
             keep = valid & ~dead & ((ccnt == 0) | (es != last_s))
             cidx = jnp.clip(ccnt, 0, K_SLOTS - 1)
-            putc = lambda r, v: r.at[lane, cidx].set(
-                jnp.where(keep, v, r[lane, cidx])
-            )
+            selc = (karr == cidx[:, None]) & keep[:, None]
+            putc = lambda r, v: jnp.where(selc, v.astype(r.dtype)[:, None], r)
             cx0, cx1, cs = putc(cx0, ex0), putc(cx1, ex1), putc(cs, es)
             cinfo = putc(cinfo, p_info)
             last_s = jnp.where(keep, es, last_s)
@@ -182,8 +184,10 @@ def smem1a_body(
 
         carry0 = (zKc, zKc, zK, zK, z, z, mx0, mx1, ms, mqb, mqe, m_cnt,
                   last_qb, ovf)
+        # slots beyond every lane's pcnt are no-ops: bound the scan by the
+        # batch's live maximum (typically ~8 of K_SLOTS=24)
         (cx0, cx1, cs, cinfo, ccnt, _ls, mx0, mx1, ms, mqb, mqe, m_cnt,
-         last_qb, ovf) = jax.lax.fori_loop(0, K_SLOTS, slot, carry0)
+         last_qb, ovf) = jax.lax.fori_loop(0, jnp.max(pcnt), slot, carry0)
         lane_alive = lane_alive & (ccnt > 0) & (i > -1)
         return (t + 1, lane_alive, cx0, cx1, cs, cinfo, ccnt, mx0, mx1, ms,
                 mqb, mqe, m_cnt, last_qb, ovf)
