@@ -103,13 +103,18 @@ def chain_kernel(
             drop = p_ok & contained
             append = p_ok & same & ~contained & ~strand_blk & can
             newc = p_ok & ~drop & ~append
-            # append: replace the chain's last seed
-            ql = ql.at[cis].set(jnp.where(append, p_q, ql[cis]))
-            rl = rl.at[cis].set(jnp.where(append, p_r, rl[cis]))
-            ll = ll.at[cis].set(jnp.where(append, p_l, ll[cis]))
+            # append: replace the chain's last seed (one-hot slot write —
+            # under vmap a .at[cis].set becomes a serialized batched
+            # scatter, a C-wide masked select stays pure VPU work)
+            carr = jnp.arange(C)
+            sela = (carr == cis) & append
+            ql = jnp.where(sela, p_q, ql)
+            rl = jnp.where(sela, p_r, rl)
+            ll = jnp.where(sela, p_l, ll)
             # new chain at the next free slot
             nsl = jnp.clip(nch, 0, C - 1)
-            put = lambda a, v: a.at[nsl].set(jnp.where(newc, v, a[nsl]))
+            seln = (carr == nsl) & newc
+            put = lambda a, v: jnp.where(seln, v, a)
             key, crid = put(key, p_r), put(crid, p_rid)
             q0, r0 = put(q0, p_q), put(r0, p_r)
             ql, rl, ll = put(ql, p_q), put(rl, p_r), put(ll, p_l)

@@ -374,19 +374,14 @@ def sa_lookup_body(
     # simply false when the ladder finished everything).
     k, steps = run_fori(sa_intv, k, steps)
     orig = jnp.arange(B, dtype=jnp.int32)
-    cur = jnp.arange(B, dtype=jnp.int32)
     widths = [w for w in (B // 2, B // 4, B // 16) if w >= 256]
     for i, width in enumerate(widths):
         unfin = (k % sa_intv) != 0
         n_unfin = unfin.sum()
-        # stable partition: unfinished lanes first
-        pos = jnp.where(
-            unfin,
-            jnp.cumsum(unfin.astype(jnp.int32)) - 1,
-            n_unfin + jnp.cumsum((~unfin).astype(jnp.int32)) - 1,
-        )
-        # gather index: new slot p takes the current slot i with pos[i]==p
-        order = jnp.zeros(B, jnp.int32).at[pos].set(cur)
+        # stable partition, unfinished lanes first, as a sort-based gather:
+        # a B-wide permutation SCATTER serializes on TPU, the bitonic sort
+        # behind argsort is vectorized
+        order = jnp.argsort(jnp.where(unfin, 0, 1), stable=True)
         k = k[order]
         steps = steps[order]
         orig = orig[order]
@@ -410,8 +405,8 @@ def sa_lookup_body(
     # safety net: finish any stragglers at full width
     k, steps = run_while(k, steps)
     out = sa[(k // sa_intv).astype(jnp.int32)] + steps.astype(k.dtype)
-    # un-permute to input order
-    return jnp.zeros(B, out.dtype).at[orig].set(out)
+    # un-permute to input order: inverse-permutation gather, not a scatter
+    return out[jnp.argsort(orig, stable=True)]
 
 
 sa_lookup_kernel = partial(
