@@ -133,8 +133,13 @@ def collect_intv_rbegs_batch_device(
     total_mems = int(extra[R_cap + 1])
     r_ovf = total_rbegs > B * r_per_read
     mem_ovf = total_mems > B * f_per_read
+    if r_ovf:
+        # rbeg walk lanes exhausted: whole batch demotes to per-interval
+        # host SA walks — make the degradation observable (ADVICE r04)
+        _metrics.count("device_seed_fused_r_overflows")
     if mem_ovf:
         ovf[:] = True  # flat table truncated: host oracle for the batch
+        _metrics.count("device_seed_fused_mem_overflows")
 
     # per-read row spans in the flat table + per-row walk offsets (the
     # device's exact layout, recomputed host-side)

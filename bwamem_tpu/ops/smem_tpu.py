@@ -185,9 +185,13 @@ def smem1a_body(
         carry0 = (zKc, zKc, zK, zK, z, z, mx0, mx1, ms, mqb, mqe, m_cnt,
                   last_qb, ovf)
         # slots beyond every lane's pcnt are no-ops: bound the scan by the
-        # batch's live maximum (typically ~8 of K_SLOTS=24)
+        # batch's live maximum (typically ~8 of K_SLOTS=24).  Clamp to
+        # K_SLOTS: an overflowed lane keeps incrementing pcnt past the
+        # slot capacity (it is ovf-flagged and host-resolved), and an
+        # unclamped bound would re-scan the clamped last slot ~L times.
         (cx0, cx1, cs, cinfo, ccnt, _ls, mx0, mx1, ms, mqb, mqe, m_cnt,
-         last_qb, ovf) = jax.lax.fori_loop(0, jnp.max(pcnt), slot, carry0)
+         last_qb, ovf) = jax.lax.fori_loop(
+            0, jnp.minimum(jnp.max(pcnt), K_SLOTS), slot, carry0)
         lane_alive = lane_alive & (ccnt > 0) & (i > -1)
         return (t + 1, lane_alive, cx0, cx1, cs, cinfo, ccnt, mx0, mx1, ms,
                 mqb, mqe, m_cnt, last_qb, ovf)
