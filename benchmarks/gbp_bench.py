@@ -85,20 +85,44 @@ def main():
     aligner.align_pairs()
     aligner.set_proper_pair_end_stats(BwaMemPairEndStats.of(350, 35))
     read_rng = np.random.default_rng(100)
-    aligner.align_seqs(simulate_pairs(codes, read_rng, 8))  # warm caches
+    warm = simulate_pairs(codes, read_rng, 100)
     reads, truth = simulate_pairs(codes, read_rng, N_PAIRS, return_truth=True)
+    del codes
+    n_reads = len(reads)
+    # cold pass first (page cache / lazily-built table state as a fresh
+    # process sees it), then warm + median-of-N steady-state passes — the
+    # production-relevant number for a server that aligns billions of
+    # reads against one resident index (run-to-run spread reported)
+    from bwamem_tpu.utils import metrics as _metrics
+
     t0 = time.time()
     results = aligner.align_seqs(reads)
-    t_align = time.time() - t0
-    n_reads = len(reads)
+    cold_rate = n_reads / (time.time() - t0)
+    aligner.align_seqs(warm)
+    passes = []
+    for _ in range(int(os.environ.get("GBP_TIMED_PASSES", "5"))):
+        _metrics.reset()
+        t0 = time.time()
+        results = aligner.align_seqs(reads)
+        passes.append(n_reads / (time.time() - t0))
+    counters = _metrics.snapshot()["counters"]
     mapped = sum(1 for r in results if r and not (r[0].sam_flag & 0x4))
-    # coordinate audit vs simulation truth (within one read length)
-    good = 0
+    # coordinate audit vs simulation truth (within one read length),
+    # split by MAPQ>=10: the confident class must be ~perfect, the
+    # low-MAPQ remainder is declared multi-mapping ambiguity
+    good = good_hi = tot_hi = good_lo = tot_lo = 0
     for recs, (pos, _is_rev) in zip(results, truth):
         if recs and not (recs[0].sam_flag & 0x4):
-            if abs(recs[0].ref_start - pos) <= 160:
-                good += 1
-    rate = n_reads / t_align
+            ok = abs(recs[0].ref_start - pos) <= 160
+            good += ok
+            if recs[0].map_qual >= 10:
+                tot_hi += 1
+                good_hi += ok
+            else:
+                tot_lo += 1
+                good_lo += ok
+    passes_s = sorted(passes)
+    rate = passes_s[len(passes_s) // 2]  # median
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     index.close()
     rec = {
@@ -108,7 +132,23 @@ def main():
         "reads": n_reads,
         "mapped_frac": round(mapped / n_reads, 4),
         "coord_correct_frac": round(good / n_reads, 4),
+        "coord_audit_mapq_ge10": {
+            "n": tot_hi, "correct_frac": round(good_hi / max(tot_hi, 1), 5)
+        },
+        "coord_audit_mapq_lt10": {
+            "n": tot_lo, "correct_frac": round(good_lo / max(tot_lo, 1), 5)
+        },
         "reads_per_sec": round(rate, 1),
+        "reads_per_sec_passes": [round(p, 1) for p in passes],
+        "reads_per_sec_cold_first_pass": round(cold_rate, 1),
+        "timing_method": "median of N steady-state passes on a resident "
+        "index (cold first pass reported separately)",
+        "device_seed_fused_fallbacks": int(
+            counters.get("device_seed_fused_fallbacks", 0)
+        ),
+        "device_seed_fused_r_overflows": int(
+            counters.get("device_seed_fused_r_overflows", 0)
+        ),
         "build_s": round(t_build, 1),
         "image_roundtrip_s": round(t_image, 1),
         "image_bytes": os.path.getsize(img),

@@ -11,7 +11,7 @@ import os
 import sys
 
 os.environ.setdefault("GBP_REF_LEN", "3100000000")
-os.environ.setdefault("GBP_PAIRS", "1500")
+os.environ.setdefault("GBP_PAIRS", "3000")
 os.environ.setdefault("GBP_LABEL", "grch38")
 os.environ.setdefault("GBP_ALGO", "rb2")  # the bounded-memory artifact
 
