@@ -36,6 +36,8 @@ class ExecConfig:
     device_seed: Optional[bool] = None  # BWAMEM_TPU_DEVICE_SEED
     device_chain: Optional[bool] = None  # BWAMEM_TPU_DEVICE_CHAIN
     device_sa_lookup: Optional[bool] = None  # BWAMEM_TPU_DEVICE_SA_LOOKUP
+    # ONE-dispatch seed+SA+chain+extend program (ops/pipeline_fused.py)
+    device_pipeline: Optional[bool] = None  # BWAMEM_TPU_DEVICE_PIPELINE
 
     # ------------------------------------------------- resolved views
     def want_device_seed(self) -> bool:
@@ -54,6 +56,12 @@ class ExecConfig:
         v = self.device_sa_lookup
         if v is None:
             v = _env_bool("BWAMEM_TPU_DEVICE_SA_LOOKUP")
+        return bool(v)
+
+    def want_device_pipeline(self) -> bool:
+        v = self.device_pipeline
+        if v is None:
+            v = _env_bool("BWAMEM_TPU_DEVICE_PIPELINE")
         return bool(v)
 
     def want_force_waves(self) -> bool:
@@ -80,6 +88,7 @@ class ExecConfig:
             or self.want_device_seed()
             or self.want_device_chain()
             or self.want_device_sa_lookup()
+            or self.want_device_pipeline()
         )
 
     def with_(self, **kw) -> "ExecConfig":

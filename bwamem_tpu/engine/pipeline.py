@@ -101,12 +101,27 @@ def align_regs_batch(
         not device_seed
         and not device_chain
         and not device_salk
+        and not exec_cfg.want_device_pipeline()
         and exec_cfg.mesh is None
         and native_fm.available()
         and native_chain.available()
         and use_device_extension
     ):
         return _align_regs_batch_native(opt, eng, reads, TIMERS, exec_cfg)
+    if exec_cfg.want_device_pipeline() and use_device_extension:
+        # ONE device dispatch: seeding + SA + chaining + extension
+        # (ops/pipeline_fused.py); host applies dedup below as usual
+        from .pipeline_device import regs_batch_fused
+
+        with TIMERS.stage("device_pipeline"):
+            regs_list = regs_batch_fused(opt, eng, reads, mesh=exec_cfg.mesh)
+        with TIMERS.stage("dedup"):
+            return [
+                _flag_alt_regs(
+                    eng.idx.bns, sort_dedup_patch(opt, eng.idx, query, regs)
+                )
+                for query, regs in zip(reads, regs_list)
+            ]
     fused_rbegs = None
     with TIMERS.stage("seed"):
         if device_seed and device_salk:

@@ -55,13 +55,20 @@ def chain_kernel(
     mask in sorted space, ovf [B] overflow flag.
     """
     B = rbeg.shape[0]
+    # reference coordinates run in the seeds' dtype (int32 below 1 Gbp
+    # forward length, int64 at genome scale under the x64 context); query
+    # coordinates stay int32 throughout
+    cdt = rbeg.dtype
+    CMAX = jnp.asarray(jnp.iinfo(cdt).max, cdt)
+    CMIN = jnp.asarray(jnp.iinfo(cdt).min, cdt)
 
     # ---- per-seed rid ([EXT] bns_intv2rid over the doubled domain) -------
-    re_ = rbeg + slen
+    re_ = rbeg + slen.astype(cdt)
     fwd = rbeg < l_pac
     cross = fwd != (re_ <= l_pac)
     fb = jnp.where(fwd, rbeg, 2 * l_pac - 1 - (re_ - 1))
     fe = jnp.where(fwd, re_ - 1, 2 * l_pac - 1 - rbeg)
+    ctg_end = ctg_end.astype(cdt)
     rid_b = jnp.searchsorted(ctg_end, fb, side="right").astype(jnp.int32)
     rid_e = jnp.searchsorted(ctg_end, fe, side="right").astype(jnp.int32)
     rid = jnp.where(
@@ -79,7 +86,7 @@ def chain_kernel(
             act = slot_ix < nch
             m = act & (key <= p_r)
             has_pred = m.any()
-            bestkey = jnp.max(jnp.where(m, key, I32MIN))
+            bestkey = jnp.max(jnp.where(m, key, CMIN))
             cand = m & (key == bestkey)
             ci = jnp.max(jnp.where(cand, slot_ix, -1))
             cis = jnp.clip(ci, 0, C - 1)
@@ -109,12 +116,12 @@ def chain_kernel(
             carr = jnp.arange(C)
             sela = (carr == cis) & append
             ql = jnp.where(sela, p_q, ql)
-            rl = jnp.where(sela, p_r, rl)
+            rl = jnp.where(sela, p_r.astype(cdt), rl)
             ll = jnp.where(sela, p_l, ll)
             # new chain at the next free slot
             nsl = jnp.clip(nch, 0, C - 1)
             seln = (carr == nsl) & newc
-            put = lambda a, v: jnp.where(seln, v, a)
+            put = lambda a, v: jnp.where(seln, v.astype(a.dtype), a)
             key, crid = put(key, p_r), put(crid, p_rid)
             q0, r0 = put(q0, p_q), put(r0, p_r)
             ql, rl, ll = put(ql, p_q), put(rl, p_r), put(ll, p_l)
@@ -126,8 +133,9 @@ def chain_kernel(
             return (key, crid, q0, r0, ql, rl, ll, nch, ovf), assign_t
 
         zc = jnp.zeros(C, jnp.int32)
+        zcc = jnp.zeros(C, cdt)
         init = (
-            jnp.full(C, jnp.int32((1 << 31) - 1)), zc, zc, zc, zc, zc, zc,
+            jnp.full(C, CMAX, cdt), zc, zc, zcc, zc, zcc, zc,
             jnp.int32(0), jnp.bool_(False),
         )
         (key, crid, q0, r0, ql, rl, ll, nch, ovf), assign = jax.lax.scan(
@@ -139,19 +147,21 @@ def chain_kernel(
             endq, wq, endr, wr = carry
             sel = (assign[t] == slot_ix) & (t < ns)
             eq2 = qbeg_s[t] + slen_s[t]
-            er2 = rbeg_s[t] + slen_s[t]
+            er2 = rbeg_s[t] + slen_s[t].astype(cdt)
             wq = wq + jnp.where(
                 sel, jnp.maximum(0, eq2 - jnp.maximum(endq, qbeg_s[t])), 0
             )
             wr = wr + jnp.where(
-                sel, jnp.maximum(0, er2 - jnp.maximum(endr, rbeg_s[t])), 0
-            )
+                sel,
+                jnp.maximum(0, er2 - jnp.maximum(endr, rbeg_s[t])),
+                0,
+            ).astype(jnp.int32)
             endq = jnp.where(sel, jnp.maximum(endq, eq2), endq)
             endr = jnp.where(sel, jnp.maximum(endr, er2), endr)
             return (endq, wq, endr, wr), None
 
         (_, wq, _, wr), _ = jax.lax.scan(
-            wstep, (zc, zc, zc, zc), jnp.arange(S, dtype=jnp.int32)
+            wstep, (zc, zc, zcc, zc), jnp.arange(S, dtype=jnp.int32)
         )
         weight = jnp.minimum(jnp.minimum(wq, wr), (1 << 30) - 1)
 

@@ -50,7 +50,9 @@ def active_mesh(mesh):
 
 @partial(
     jax.jit,
-    static_argnames=("o_del", "e_del", "o_ins", "e_ins", "zdrop", "max_sc"),
+    static_argnames=(
+        "o_del", "e_del", "o_ins", "e_ins", "zdrop", "max_sc", "early_exit",
+    ),
 )
 def ksw_extend_batch(
     qseq,  # [B, Q] int32 codes (0..4), padded past qlen
@@ -67,6 +69,7 @@ def ksw_extend_batch(
     e_ins: int,
     zdrop: int,
     max_sc: int,  # max entry of mat (static)
+    early_exit: bool = False,  # while_loop rows; stop when every lane is done
 ):
     """Returns dict of [B] int32 arrays: score, qle, tle, gtle, gscore, max_off."""
     B, Q = qseq.shape
@@ -206,7 +209,26 @@ def ksw_extend_batch(
         )
         return new_state, None
 
-    state, _ = jax.lax.scan(row_step, init, jnp.arange(T, dtype=jnp.int32))
+    if early_exit:
+        # embedded-wave driver (ops/pipeline_fused.py): rows advance in a
+        # while_loop that stops at the batch's live max tlen / when every
+        # lane breaks — a scan would pay all T padded rows every wave
+        def w_cond(st):
+            i, state = st
+            return (i < jnp.max(jnp.where(state["done"], 0, tlen))) & (
+                ~state["done"].all()
+            )
+
+        def w_body(st):
+            i, state = st
+            state, _ = row_step(state, i)
+            return i + 1, state
+
+        _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), init))
+    else:
+        state, _ = jax.lax.scan(
+            row_step, init, jnp.arange(T, dtype=jnp.int32)
+        )
     return dict(
         score=state["maxv"],
         qle=state["max_j"] + 1,

@@ -69,11 +69,13 @@ def _append_wave(accs, n, ovf, wave, wcnt, active, min_seed_len, M):
     return out, jnp.minimum(n_new, M), ovf
 
 
-def seed_sa_fused_body(
+def seed_sa_core(
     lines, L2, sa, qseq, qlen, *, primary: int, seq_len: int, sa_intv: int,
     span: int, min_seed_len: int, split_len: int, split_width: int,
     max_mem_intv: int, max_occ: int, M: int, R_cap: int, F_cap: int,
 ):
+    """Device seeding core; returns every intermediate the fused pipeline
+    (ops/pipeline_fused.py) consumes in addition to the packed outputs."""
     qseq = qseq.astype(jnp.int32)  # uploaded as int8 (4x fewer link bytes)
     B, L = qseq.shape
     assert L < (1 << 16), "qb/qe pack into 16 bits each"
@@ -223,15 +225,39 @@ def seed_sa_fused_body(
     rbegs = sa_lookup_body(
         lines, L2, sa, ks, primary, seq_len, sa_intv, span
     )
+    return dict(
+        flat=flat, n=n, ovf=ovf, starts=starts, total_mems=total_mems,
+        cnt_f=cnt_f, cum=cum, total=total, mem_idx=mem_idx, rbegs=rbegs,
+        # per-read sorted interval views (pre-compaction), for frac_rep
+        s_sorted=as_, qb_sorted=aqb, qe_sorted=aqe,
+    )
 
+
+def seed_sa_fused_body(
+    lines, L2, sa, qseq, qlen, *, primary: int, seq_len: int, sa_intv: int,
+    span: int, min_seed_len: int, split_len: int, split_width: int,
+    max_mem_intv: int, max_occ: int, M: int, R_cap: int, F_cap: int,
+):
+    core = seed_sa_core(
+        lines, L2, sa, qseq, qlen, primary=primary, seq_len=seq_len,
+        sa_intv=sa_intv, span=span, min_seed_len=min_seed_len,
+        split_len=split_len, split_width=split_width,
+        max_mem_intv=max_mem_intv, max_occ=max_occ, M=M, R_cap=R_cap,
+        F_cap=F_cap,
+    )
+    cdt = L2.dtype
+    n, ovf = core["n"], core["ovf"]
     # ---- pack: flat [F_cap, 4] + ONE tail vector [R_cap + 2 + B] --------
     # (rbegs | total_rbegs | total_mems | per-read n+ovf meta): the whole
     # batch decodes from exactly TWO pulled arrays
     meta = (n + (ovf.astype(jnp.int32) << 16)).astype(cdt)
     extra = jnp.concatenate(
-        [rbegs, total[None].astype(cdt), total_mems[None].astype(cdt), meta]
+        [
+            core["rbegs"], core["total"][None].astype(cdt),
+            core["total_mems"][None].astype(cdt), meta,
+        ]
     )
-    return flat, extra
+    return core["flat"], extra
 
 
 _seed_sa_fused_kernel = partial(
