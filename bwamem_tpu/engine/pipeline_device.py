@@ -51,6 +51,10 @@ def _get_dref(idx, mesh=None):
         big = 2 * int(bns.l_pac) >= (1 << 31)
         cdt = np.int64 if big else np.int32
         pac8 = np.asarray(idx.pac, dtype=np.uint8)
+        # 32-byte (128-base) rows: extension windows fetch whole rows
+        # (TPU gather cost is per ROW, not per element)
+        pad = (-len(pac8)) % 32
+        pac8 = np.pad(pac8, (0, pad)).reshape(-1, 32)
         ctg_end = np.asarray(
             [a.offset + a.length for a in bns.anns], dtype=cdt
         )

@@ -47,20 +47,55 @@ from .seed_fused import seed_sa_core
 I32MAX = jnp.int32((1 << 31) - 1)
 
 
-def _dcode(pac8, pos, l_pac):
-    """Reference code at doubled-domain position(s) ([EXT] bns_get_seq).
+def _shl(arr, k, kmax: int):
+    """Barrel left-shift each row of [B, W] by per-lane k (0..kmax),
+    zero-filling: log2(kmax) masked static rolls — pure VPU selects, no
+    gathers (TPU gathers cost a full row per gathered ELEMENT, so even a
+    take_along_axis alignment pass would dominate the wave loop)."""
+    B, W = arr.shape
+    zeros = jnp.zeros_like(arr)
+    bit = 0
+    while (1 << bit) <= kmax:
+        s = 1 << bit
+        rolled = jnp.concatenate([arr[:, s:], zeros[:, :s]], axis=1)
+        arr = jnp.where(((k >> bit) & 1)[:, None] != 0, rolled, arr)
+        bit += 1
+    return arr
 
-    pac8: uint8 bwa pac bytes (4 bases/byte, MSB-first pairs); positions
-    >= l_pac read the reverse complement mirrored at 2*l_pac-1-pos."""
-    rev = pos >= l_pac
-    fp = jnp.where(rev, 2 * l_pac - 1 - pos, pos)
-    fp = jnp.clip(fp, 0, l_pac - 1)
-    byte = pac8[(fp >> 2).astype(jnp.int32) if pac8.shape[0] < (1 << 31)
-                else (fp >> 2)]
-    shift = (2 * (3 - (fp & 3))).astype(jnp.uint8)
-    code = (byte >> shift) & 3
-    code = code.astype(jnp.int32)
-    return jnp.where(rev, 3 - code, code)
+
+def _win_codes(pac_rows, lo, anchor, T: int, l_pac: int):
+    """[B, T] reference codes at doubled-domain positions lo..lo+T-1.
+
+    TPU gathers cost a full row per gathered element, so per-base pac
+    lookups are ruinous ([B, T] would be B*T row-gathers).  Instead the
+    window is fetched as ~T/128 row-gathers of 32-byte (128-base) pac
+    rows per lane, unpacked with vector shifts, then aligned with ONE
+    per-lane row gather.  ``anchor`` (a position inside the window's
+    valid span) picks the strand: windows never cross the forward/reverse
+    boundary because the caller clamps to [rmax0, rmax1] ([EXT]
+    bns_get_seq semantics); out-of-span cells are garbage the caller
+    masks."""
+    B = lo.shape[0]
+    nrows = pac_rows.shape[0]
+    R = T // 128 + 2
+    rev = anchor >= l_pac
+    fwd_lo = jnp.where(rev, 2 * l_pac - lo - T, lo)
+    row0 = jnp.floor_divide(fwd_lo, 128)
+    rows = jnp.clip(
+        row0[:, None] + jnp.arange(R, dtype=row0.dtype)[None, :], 0,
+        nrows - 1,
+    )
+    by = jnp.take(pac_rows, rows, axis=0).reshape(B, R * 32).astype(
+        jnp.int32
+    )
+    c = jnp.stack(
+        [(by >> 6) & 3, (by >> 4) & 3, (by >> 2) & 3, by & 3], axis=-1
+    ).reshape(B, R * 128)
+    off = (fwd_lo - row0 * 128).astype(jnp.int32)
+    win_f = _shl(c, off, 127)[:, :T]
+    return jnp.where(
+        rev[:, None], 3 - win_f[:, ::-1], win_f
+    )
 
 
 def _max_gap(x, a, o_del, e_del, o_ins, e_ins, w):
@@ -74,7 +109,7 @@ def _max_gap(x, a, o_del, e_del, o_ins, e_ins, w):
 
 
 def pipeline_fused_body(
-    lines, L2, sa, pac8, ctg_end, ctg_off, ctg_alt, qseq, qlen, fcs_ok,
+    lines, L2, sa, pac_rows, ctg_end, ctg_off, ctg_alt, qseq, qlen, fcs_ok,
     mat, *,
     primary: int, seq_len: int, sa_intv: int, span: int, l_pac: int,
     min_seed_len: int, split_len: int, split_width: int, max_mem_intv: int,
@@ -89,6 +124,7 @@ def pipeline_fused_body(
     cdt = L2.dtype
     CMAX = jnp.asarray(jnp.iinfo(cdt).max, cdt)
     lane = jnp.arange(B)
+    qseq32 = qseq.astype(jnp.int32)
 
     core = seed_sa_core(
         lines, L2, sa, qseq, qlen, primary=primary, seq_len=seq_len,
@@ -187,29 +223,41 @@ def pipeline_fused_body(
     rmax1 = jnp.minimum(rmax1, fe2)
     win_ovf_c = (rmax1 - rmax0) > T_cap
 
-    # ---- chain2aln wave loop --------------------------------------------
+    # ---- chain2aln wave loop (lane-compaction ladder) -------------------
+    # the loop is lockstep across lanes: one task per live read per wave.
+    # Task counts are heavy-tailed (mean ~4, max ~S), so running the whole
+    # batch to the slowest lane would pay full [B]-wide extension waves for
+    # a handful of stragglers.  Instead each stage runs while more than
+    # `floor` lanes are live, then the survivors (and their whole state)
+    # compact into a 4x narrower stage — same program, smaller B — and the
+    # final stage runs to empty.  Results scatter back by original lane.
     jq = jnp.arange(L, dtype=jnp.int32)[None, :]
     jt = jnp.arange(T_cap, dtype=jnp.int32)[None, :]
     rr = jnp.arange(R, dtype=jnp.int32)[None, :]
-    zR = jnp.zeros((B, R), jnp.int32)
-    zRc = jnp.zeros((B, R), cdt)
     th_of = lambda aw: (aw >> 1) + (aw >> 2)
+
+    tb_full = dict(
+        ntask=ntask, taskperm=taskperm, sqb=sqb, slen=slen, srbeg=srbeg,
+        scc=scc, assign=assign, svalid=svalid, qseq32=qseq32,
+        qrev32=qseq32[:, ::-1].copy(), qlen32=qlen32, rmax0=rmax0,
+        rmax1=rmax1, crid=crid, win_ovf=win_ovf_c,
+    )
 
     def _ext(qa, ta, ql_, tl_, h0_, w_, bonus):
         return ksw_extend_batch(
             qa, ta, ql_, tl_, h0_, w_,
-            jnp.full((B,), bonus, jnp.int32), mat,
+            jnp.full_like(ql_, bonus), mat,
             o_del, e_del, o_ins, e_ins, zdrop, max_sc, early_exit=True,
         )
 
-    def _ext_retry(qa, ta, ql_, tl_, h0_, bonus, act, prev0_differs, prev0):
+    def _ext_retry(qa, ta, ql_, tl_, h0_, bonus, act, prev0):
         """MAX_BAND_TRY=2 band-doubling: attempt at w, selective retry at
-        2w for lanes whose score moved and max_off crossed the threshold.
-        prev0_differs: attempt-0 'score != prev' literal (True for left —
-        prev is -1; right compares against h0)."""
-        w0 = jnp.full((B,), w_opt, jnp.int32)
+        2w for lanes whose score moved and max_off crossed the threshold
+        (prev0 None -> attempt-0 'score != prev' is vacuously true: the
+        left extension enters with score -1)."""
+        w0 = jnp.full_like(ql_, w_opt)
         r1 = _ext(qa, ta, ql_, tl_, h0_, w0, bonus)
-        moved = prev0_differs if prev0 is None else (r1["score"] != prev0)
+        moved = True if prev0 is None else (r1["score"] != prev0)
         retry = act & moved & (r1["max_off"] >= th_of(w0))
 
         def do_retry(_):
@@ -223,17 +271,20 @@ def pipeline_fused_body(
         aw = jnp.where(retry, w_opt << 1, w_opt)
         return res, aw
 
-    def prune_current(tc, alive, regs):
+    def prune_current(tb, tc, alive, regs):
         (r_rb, r_re, r_qb, r_qe, _sc, _ts, r_w, _scov, r_sl0, _rid,
          nregs) = regs
-        act = tc < ntask
+        Bn = tc.shape[0]
+        lane_n = jnp.arange(Bn)
+        act = tc < tb["ntask"]
         si = jnp.take_along_axis(
-            taskperm, jnp.clip(tc, 0, S - 1)[:, None], axis=1
+            tb["taskperm"], jnp.clip(tc, 0, S - 1)[:, None], axis=1
         )[:, 0]
-        s_qb = sqb[lane, si]
-        s_len = slen[lane, si]
-        s_rbeg = srbeg[lane, si]
-        c = scc[lane, si]
+        sqb_t, slen_t, srbeg_t = tb["sqb"], tb["slen"], tb["srbeg"]
+        s_qb = sqb_t[lane_n, si]
+        s_len = slen_t[lane_n, si]
+        s_rbeg = srbeg_t[lane_n, si]
+        c = tb["scc"][lane_n, si]
         # contained in an existing region? ([EXT] chain2aln srt prune)
         pv = rr < nregs[:, None]
         box = (
@@ -244,10 +295,10 @@ def pipeline_fused_body(
         )
         lenok = (
             (s_len[:, None] - r_sl0).astype(jnp.float32)
-            <= 0.1 * qlen32.astype(jnp.float32)[:, None]
+            <= 0.1 * tb["qlen32"].astype(jnp.float32)[:, None]
         )
         qd1 = s_qb[:, None] - r_qb
-        rd1 = jnp.clip(s_rbeg[:, None] - r_rb, -(1 << 20), 1 << 20).astype(
+        rd1 = jnp.clip(s_rbeg[:, None] - r_rb, -(1 << 30), 1 << 30).astype(
             jnp.int32
         )
         w1 = jnp.minimum(
@@ -259,7 +310,7 @@ def pipeline_fused_body(
         qd2 = r_qe - (s_qb[:, None] + s_len[:, None])
         rd2 = jnp.clip(
             r_re - (s_rbeg[:, None] + s_len[:, None]).astype(cdt),
-            -(1 << 20), 1 << 20,
+            -(1 << 30), 1 << 30,
         ).astype(jnp.int32)
         w2 = jnp.minimum(
             _max_gap(jnp.minimum(qd2, rd2), a, o_del, e_del, o_ins, e_ins,
@@ -269,36 +320,35 @@ def pipeline_fused_body(
         chk2 = (qd2 - rd2 < w2) & (rd2 - qd2 < w2)
         contained = (pv & box & lenok & (chk1 | chk2)).any(axis=1)
         # same-chain later-srt seed suggesting a different alignment?
-        samec = (assign == c[:, None]) & svalid & alive
-        after = (slen > s_len[:, None]) | (
-            (slen == s_len[:, None]) & (scol > si[:, None])
+        samec = (tb["assign"] == c[:, None]) & tb["svalid"] & alive
+        after = (slen_t > s_len[:, None]) | (
+            (slen_t == s_len[:, None]) & (scol > si[:, None])
         )
-        big = slen.astype(jnp.float32) >= s_len.astype(jnp.float32)[
+        big = slen_t.astype(jnp.float32) >= s_len.astype(jnp.float32)[
             :, None
         ] * jnp.float32(0.95)
-        dq = jnp.clip(srbeg - s_rbeg[:, None], -(1 << 20), 1 << 20).astype(
-            jnp.int32
-        )
+        dq = jnp.clip(
+            srbeg_t - s_rbeg[:, None], -(1 << 30), 1 << 30
+        ).astype(jnp.int32)
         c1 = (
-            (s_qb[:, None] <= sqb)
-            & (s_qb[:, None] + s_len[:, None] - sqb >= (s_len[:, None] >> 2))
-            & (sqb - s_qb[:, None] != dq)
+            (s_qb[:, None] <= sqb_t)
+            & (s_qb[:, None] + s_len[:, None] - sqb_t
+               >= (s_len[:, None] >> 2))
+            & (sqb_t - s_qb[:, None] != dq)
         )
         c2 = (
-            (sqb <= s_qb[:, None])
-            & (sqb + slen - s_qb[:, None] >= (s_len[:, None] >> 2))
-            & (s_qb[:, None] - sqb != -dq)
+            (sqb_t <= s_qb[:, None])
+            & (sqb_t + slen_t - s_qb[:, None] >= (s_len[:, None] >> 2))
+            & (s_qb[:, None] - sqb_t != -dq)
         )
         diff = (samec & after & big & (c1 | c2)).any(axis=1)
         pruned = act & contained & ~diff
         return act, si, c, pruned
 
-    def outer_cond(st):
-        tc = st[0]
-        return (tc < ntask).any()
-
-    def outer_body(st):
+    def outer_body(tb, st):
         tc, alive, regs, povf = st
+        Bn = tc.shape[0]
+        lane_n = jnp.arange(Bn)
 
         # advance each lane's cursor past pruned tasks (marks them dead)
         def adv_cond(st2):
@@ -307,27 +357,28 @@ def pipeline_fused_body(
         def adv_body(st2):
             tc2, alive2, pr = st2
             si = jnp.take_along_axis(
-                taskperm, jnp.clip(tc2, 0, S - 1)[:, None], axis=1
+                tb["taskperm"], jnp.clip(tc2, 0, S - 1)[:, None], axis=1
             )[:, 0]
             kill = (scol == si[:, None]) & pr[:, None]
             alive2 = alive2 & ~kill
             tc2 = tc2 + pr.astype(jnp.int32)
-            _, _, _, pr2 = prune_current(tc2, alive2, regs)
+            _, _, _, pr2 = prune_current(tb, tc2, alive2, regs)
             return tc2, alive2, pr2
 
-        _, _, _, pr0 = prune_current(tc, alive, regs)
+        _, _, _, pr0 = prune_current(tb, tc, alive, regs)
         tc, alive, _ = jax.lax.while_loop(
             adv_cond, adv_body, (tc, alive, pr0)
         )
 
-        act, si, c, _ = prune_current(tc, alive, regs)
-        s_qb = sqb[lane, si]
-        s_len = slen[lane, si]
+        act, si, c, _ = prune_current(tb, tc, alive, regs)
+        s_qb = tb["sqb"][lane_n, si]
+        s_len = tb["slen"][lane_n, si]
         s_qe = s_qb + s_len
-        s_rbeg = srbeg[lane, si]
-        r0c = rmax0[lane, c]
-        r1c = rmax1[lane, c]
-        povf = povf | (act & win_ovf_c[lane, c])
+        s_rbeg = tb["srbeg"][lane_n, si]
+        r0c = tb["rmax0"][lane_n, c]
+        r1c = tb["rmax1"][lane_n, c]
+        qlen_n = tb["qlen32"]
+        povf = povf | (act & tb["win_ovf"][lane_n, c])
 
         # ---- left extension (reversed prefix) ---------------------------
         has_l = act & (s_qb > 0)
@@ -335,19 +386,16 @@ def pipeline_fused_body(
         tl_l = jnp.where(
             has_l, jnp.clip((s_rbeg - r0c).astype(jnp.int32), 0, T_cap), 0
         )
-        qa_l = jnp.take_along_axis(
-            qseq.astype(jnp.int32),
-            jnp.clip(s_qb[:, None] - 1 - jq, 0, L - 1),
-            axis=1,
-        )
+        # qa_l[j] = qseq[s_qb-1-j]: static row reverse + barrel shift
+        qa_l = _shl(tb["qrev32"], L - s_qb, L)
         qa_l = jnp.where(jq < ql_l[:, None], qa_l, 0)
-        tpos_l = s_rbeg[:, None] - 1 - jt.astype(cdt)
-        ta_l = _dcode(pac8, jnp.clip(tpos_l, 0, 2 * l_pac - 1), l_pac)
-        ta_l = jnp.where(jt < tl_l[:, None], ta_l, 0)
+        win_l = _win_codes(
+            pac_rows, s_rbeg - T_cap, s_rbeg - 1, T_cap, l_pac
+        )
+        ta_l = jnp.where(jt < tl_l[:, None], win_l[:, ::-1], 0)
         h0 = s_len * jnp.int32(a)
         res_l, aw0 = _ext_retry(
-            qa_l, ta_l, ql_l, tl_l, h0, pen_clip5, has_l,
-            jnp.ones(B, bool), None,
+            qa_l, ta_l, ql_l, tl_l, h0, pen_clip5, has_l, None
         )
         g_ok = (res_l["gscore"] <= 0) | (
             res_l["gscore"] <= res_l["score"] - pen_clip5
@@ -358,7 +406,8 @@ def pipeline_fused_body(
         )
         rb_f = jnp.where(
             has_l,
-            s_rbeg - jnp.where(g_ok, res_l["tle"], res_l["gtle"]).astype(cdt),
+            s_rbeg
+            - jnp.where(g_ok, res_l["tle"], res_l["gtle"]).astype(cdt),
             s_rbeg,
         )
         truesc = jnp.where(
@@ -367,39 +416,31 @@ def pipeline_fused_body(
         aw0 = jnp.where(has_l, aw0, w_opt)
 
         # ---- right extension --------------------------------------------
-        has_r = act & (s_qe != qlen32)
-        ql_r = jnp.where(has_r, qlen32 - s_qe, 0)
+        has_r = act & (s_qe != qlen_n)
+        ql_r = jnp.where(has_r, qlen_n - s_qe, 0)
         re_off = s_rbeg + s_len.astype(cdt)
         tl_r = jnp.where(
             has_r, jnp.clip((r1c - re_off).astype(jnp.int32), 0, T_cap), 0
         )
-        qa_r = jnp.take_along_axis(
-            qseq.astype(jnp.int32),
-            jnp.clip(s_qe[:, None] + jq, 0, L - 1),
-            axis=1,
-        )
+        qa_r = _shl(tb["qseq32"], s_qe, L)
         qa_r = jnp.where(jq < ql_r[:, None], qa_r, 0)
-        tpos_r = re_off[:, None] + jt.astype(cdt)
-        ta_r = _dcode(pac8, jnp.clip(tpos_r, 0, 2 * l_pac - 1), l_pac)
-        ta_r = jnp.where(jt < tl_r[:, None], ta_r, 0)
+        win_r = _win_codes(pac_rows, re_off, re_off, T_cap, l_pac)
+        ta_r = jnp.where(jt < tl_r[:, None], win_r, 0)
         sc0 = sc_left
         res_r, aw1 = _ext_retry(
-            qa_r, ta_r, ql_r, tl_r, sc0, pen_clip3, has_r, None, sc0
+            qa_r, ta_r, ql_r, tl_r, sc0, pen_clip3, has_r, sc0
         )
         g_ok_r = (res_r["gscore"] <= 0) | (
             res_r["gscore"] <= res_r["score"] - pen_clip3
         )
         score_f = jnp.where(has_r, res_r["score"], sc_left)
         qe_f = jnp.where(
-            has_r, jnp.where(g_ok_r, s_qe + res_r["qle"], qlen32), qlen32
+            has_r, jnp.where(g_ok_r, s_qe + res_r["qle"], qlen_n), qlen_n
         )
-        qe_f = jnp.where(has_r, qe_f, qlen32)
-        qe_f = jnp.where(~has_r & act, qlen32, qe_f)
         re_f = jnp.where(
             has_r,
-            re_off + jnp.where(g_ok_r, res_r["tle"], res_r["gtle"]).astype(
-                cdt
-            ),
+            re_off
+            + jnp.where(g_ok_r, res_r["tle"], res_r["gtle"]).astype(cdt),
             re_off,
         )
         truesc = jnp.where(
@@ -413,19 +454,22 @@ def pipeline_fused_body(
 
         # ---- finalize the region ----------------------------------------
         inbox = (
-            (assign == c[:, None]) & svalid
-            & (sqb >= qb_f[:, None]) & (sqb + slen <= qe_f[:, None])
-            & (srbeg >= rb_f[:, None])
-            & (srbeg + slen.astype(cdt) <= re_f[:, None])
+            (tb["assign"] == c[:, None]) & tb["svalid"]
+            & (tb["sqb"] >= qb_f[:, None])
+            & (tb["sqb"] + tb["slen"] <= qe_f[:, None])
+            & (tb["srbeg"] >= rb_f[:, None])
+            & (tb["srbeg"] + tb["slen"].astype(cdt) <= re_f[:, None])
         )
-        seedcov = jnp.where(inbox, slen, 0).sum(axis=1)
+        seedcov = jnp.where(inbox, tb["slen"], 0).sum(axis=1)
         w_f = jnp.maximum(aw0, aw1)
-        rid_f = crid[lane, c]
+        rid_f = tb["crid"][lane_n, c]
 
         (r_rb, r_re, r_qb, r_qe, r_sc, r_ts, r_w, r_scov, r_sl0, r_rid,
          nregs) = regs
         sel = (rr == jnp.clip(nregs, 0, R - 1)[:, None]) & act[:, None]
-        put = lambda arr, v: jnp.where(sel, v[:, None].astype(arr.dtype), arr)
+        put = lambda arr, v: jnp.where(
+            sel, v[:, None].astype(arr.dtype), arr
+        )
         regs = (
             put(r_rb, rb_f), put(r_re, re_f), put(r_qb, qb_f),
             put(r_qe, qe_f), put(r_sc, score_f), put(r_ts, truesc),
@@ -437,16 +481,62 @@ def pipeline_fused_body(
         tc = tc + act.astype(jnp.int32)
         return tc, alive, regs, povf
 
-    regs0 = (zRc, zRc, zR, zR, zR, zR, zR, zR, zR, zR, jnp.zeros(B, jnp.int32))
+    def run_stage(tb, st, floor):
+        def cond(s):
+            return (s[0] < tb["ntask"]).sum() > floor
+
+        return jax.lax.while_loop(cond, lambda s: outer_body(tb, s), st)
+
+    def compact(tb, st, abs_idx, Bn_new):
+        """Gather the live lanes (plus idle fillers) into a narrower
+        stage; the previous stage's floor guarantees live <= Bn_new."""
+        tc, alive, regs, povf = st
+        live = tc < tb["ntask"]
+        sel = jnp.argsort(jnp.where(live, 0, 1), stable=True)[:Bn_new]
+        tb2 = {k: v[sel] for k, v in tb.items()}
+        tb2["ntask"] = jnp.where(live[sel], tb2["ntask"], 0)
+        st2 = (
+            tc[sel], alive[sel], tuple(r[sel] for r in regs), povf[sel]
+        )
+        return tb2, st2, abs_idx[sel]
+
+    zR = jnp.zeros((B, R), jnp.int32)
+    zRc = jnp.zeros((B, R), cdt)
+    regs0 = (
+        zRc, zRc, zR, zR, zR, zR, zR, zR, zR, zR, jnp.zeros(B, jnp.int32)
+    )
     povf0 = (
         seed_ovf | seed_sovf | chovf | ~fcs_ok
         | jnp.broadcast_to(mem_ovf | walk_ovf, seed_ovf.shape)
     )
     tc0 = jnp.where(povf0, ntask, jnp.zeros(B, jnp.int32))  # skip ovf lanes
-    _, _, regs_fin, povf = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (tc0, jnp.ones((B, S), bool), regs0, povf0),
-    )
+    st = (tc0, jnp.ones((B, S), bool), regs0, povf0)
+
+    sizes = [B]
+    while sizes[-1] > 128:
+        nxt = max(sizes[-1] // 4, 128)
+        if nxt == sizes[-1]:
+            break
+        sizes.append(nxt)
+    tb, abs_idx = tb_full, jnp.arange(B, dtype=jnp.int32)
+    stage_outs = []
+    for si_, Bn in enumerate(sizes):
+        floor = sizes[si_ + 1] if si_ + 1 < len(sizes) else 0
+        st = run_stage(tb, st, floor)
+        stage_outs.append((abs_idx, st))
+        if si_ + 1 < len(sizes):
+            tb, st, abs_idx = compact(tb, st, abs_idx, sizes[si_ + 1])
+
+    # merge narrower stages back into the full-B arrays (later stages
+    # win; filler lanes re-write their own unchanged values)
+    _, (tc_f, _al, regs_fin, povf) = stage_outs[0], stage_outs[0][1]
+    regs_fin, povf = list(regs_fin), povf
+    for abs_k, st_k in stage_outs[1:]:
+        _tc, _al2, regs_k, povf_k = st_k
+        for i_ in range(len(regs_fin)):
+            regs_fin[i_] = regs_fin[i_].at[abs_k].set(regs_k[i_])
+        povf = povf.at[abs_k].set(povf_k)
+    regs_fin = tuple(regs_fin)
 
     # ---- pack -----------------------------------------------------------
     (r_rb, r_re, r_qb, r_qe, r_sc, r_ts, r_w, r_scov, r_sl0, r_rid,
