@@ -77,26 +77,32 @@ def main():
         codes, read_rng, n_pairs, read_len=read_len, isize_mean=isize
     )
     n_reads = len(reads)
-    rate = 0.0
+    # BENCH_RUNS=2 (default): best-of-two steady state; >=3: MEDIAN of N
+    # passes with the spread reported, so a bar cleared inside run-to-run
+    # noise is visible as such (r04 judge note on the chr20 config)
+    n_runs = int(os.environ.get("BENCH_RUNS", "2"))
+    passes = []
     results = None
-    for _ in range(2):  # steady state: best of two
+    for _ in range(n_runs):
         t0 = time.time()
         results = aligner.align_seqs(reads)
         dt = time.time() - t0
-        rate = max(rate, n_reads / dt)
+        passes.append(n_reads / dt)
+    ps = sorted(passes)
+    rate = max(passes) if n_runs <= 2 else ps[len(ps) // 2]
     aligned = sum(1 for r in results if r and not (r[0].sam_flag & 0x4))
     index.close()
     assert aligned >= 0.95 * n_reads, f"only {aligned}/{n_reads} aligned"
-    print(
-        json.dumps(
-            {
-                "metric": f"reads_per_sec_chip_{cfg.get('read_len', 150)}bp_pe_{cfg_name}",
-                "value": round(rate, 2),
-                "unit": "reads/s",
-                "vs_baseline": round(rate / BASELINE_READS_PER_SEC, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": f"reads_per_sec_chip_{cfg.get('read_len', 150)}bp_pe_{cfg_name}",
+        "value": round(rate, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rate / BASELINE_READS_PER_SEC, 4),
+    }
+    if n_runs > 2:
+        rec["stat"] = f"median_of_{n_runs}"
+        rec["passes"] = [round(p, 1) for p in passes]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -81,11 +81,10 @@ def main():
         img, reads, {"BWAMEM_TPU_DEVICE_SEED": "0", "BWAMEM_TPU_DEVICE_EXTEND": "0"}
     )
     dev_env = {
-        "BWAMEM_TPU_DEVICE_SEED": "1",
-        "BWAMEM_TPU_DEVICE_SA_LOOKUP": "1",  # + SEED => fused one-dispatch
-        "BWAMEM_TPU_DEVICE_CHAIN": "1",
-        "BWAMEM_TPU_DEVICE_EXTEND": "1",
-        "BWAMEM_TPU_FORCE_WAVES": "1",
+        # ONE dispatch per batch: seed+SA+chain+extend fused
+        # (ops/pipeline_fused.py); extension waves no longer exist as
+        # separate dispatches
+        "BWAMEM_TPU_DEVICE_PIPELINE": "1",
     }
     # warm compile pass at the SAME batch/length buckets (compile caches
     # per shape; a small warm batch would leave the real shapes cold)
@@ -111,20 +110,22 @@ def main():
         "n_reads_differing": int(n_diff),
         "host_reads_per_sec": round(len(reads) / host_dt, 1),
         "device_reads_per_sec": round(len(reads) / dev_dt, 1),
-        "device_seed_fused_batches": int(
-            counters.get("device_seed_fused_batches", 0)
+        "device_fused_pipeline_batches": int(
+            counters.get("device_fused_pipeline_batches", 0)
         ),
-        "device_seed_fused_fallbacks": int(
-            counters.get("device_seed_fused_fallbacks", 0)
+        "device_fused_pipeline_fallbacks": int(
+            counters.get("device_fused_pipeline_fallbacks", 0)
         ),
         "device_seed_waves": int(counters.get("device_seed_waves", 0)),
         "device_extend_waves": int(counters.get("device_extend_waves", 0)),
         "device_extend_jobs": int(counters.get("device_extend_jobs", 0)),
         "link_probe_fast": bool(auto),
-        "note": "device path = full SMEM seeding + extension waves on the "
-        "attached accelerator; on this rig every dispatch rides a ~40-50ms "
-        "loopback relay, so host wins on wall clock — the artifact pins "
-        "compiled-kernel bit-exactness and the auto-router's verdict.",
+        "note": "device path = ONE fused dispatch per batch "
+        "(seed+SA+chain+extend, ops/pipeline_fused.py) record-equal to "
+        "the host engine; device_extend_waves 0 = no separate extension "
+        "dispatches remain. Wall clock on this rig still pays the ~MB/s "
+        "loopback relay per batch upload; DEVICE_PIPELINE_TIME carries "
+        "the relay-free device-time number.",
     }
     assert equal, rec
     with open(out_path, "w") as f:

@@ -41,6 +41,57 @@ def _x64_ctx(enable: bool):
     return contextlib.nullcontext()
 
 
+# --------------------------------------------------------------------------
+# idx-sharded tables (pangenome layout, SURVEY.md section 5): when the
+# sharded_tables context is active, every checkpoint-line / sampled-SA
+# fetch is the local-shard gather + psum merge, so ALL kernels built on
+# _rows_for (occ4, bwt_extend, the SMEM bodies, the SA walk) run unchanged
+# under a shard_map whose in_spec shards the tables over `axis`.  The
+# context is consulted at TRACE time — activate it around the shard_map
+# call.  Collectives ride the mesh axis (ICI on hardware).
+# --------------------------------------------------------------------------
+_SHARD_CTX = None  # (axis_name, blocks_per_shard, sa_per_shard)
+
+
+@contextlib.contextmanager
+def sharded_tables(axis: str, blocks_per_shard: int, sa_per_shard: int = 0):
+    global _SHARD_CTX
+    prev = _SHARD_CTX
+    _SHARD_CTX = (axis, blocks_per_shard, sa_per_shard)
+    try:
+        yield
+    finally:
+        _SHARD_CTX = prev
+
+
+def _shard_gather(table, idx, per_shard: int, axis: str):
+    """table[idx] where each device holds a contiguous [per_shard] slice:
+    answer locally-owned rows, zero elsewhere, psum-merge."""
+    shard = jax.lax.axis_index(axis).astype(idx.dtype)
+    lo = shard * per_shard
+    n_local = table.shape[0]
+    mine = (idx >= lo) & (idx < lo + n_local)
+    local = jnp.clip(idx - lo, 0, n_local - 1).astype(jnp.int32)
+    got = table[local]
+    mask = mine.reshape(mine.shape + (1,) * (got.ndim - mine.ndim))
+    got = jnp.where(mask, got, jnp.zeros((), got.dtype))
+    return jax.lax.psum(got, axis)
+
+
+def _fetch_lines(lines, block):
+    if _SHARD_CTX is None:
+        return lines[block]
+    axis, bps, _ = _SHARD_CTX
+    return _shard_gather(lines, block, bps, axis)
+
+
+def _fetch_sa(sa, idx):
+    if _SHARD_CTX is None:
+        return sa[idx]
+    axis, _, sps = _SHARD_CTX
+    return _shard_gather(sa, idx, sps, axis)
+
+
 @dataclass(frozen=True)
 class DeviceFMIndex:
     """FM-index on device: fused occ lines + sampled SA + static scalars."""
@@ -192,7 +243,7 @@ def _rows_for(lines, k, primary, span: int):
     lg = span.bit_length() - 1
     block = (kk >> lg).astype(jnp.int32)
     within = (kk & (span - 1)).astype(jnp.int32) + 1
-    return lines[block], within
+    return _fetch_lines(lines, block), within
 
 
 @partial(jax.jit, static_argnames=("primary", "seq_len", "span"))
@@ -374,7 +425,14 @@ def sa_lookup_body(
     # simply false when the ladder finished everything).
     k, steps = run_fori(sa_intv, k, steps)
     orig = jnp.arange(B, dtype=jnp.int32)
-    widths = [w for w in (B // 2, B // 4, B // 16) if w >= 256]
+    # under idx-sharded tables, skip the compaction ladder: its
+    # data-dependent lax.cond stages would wrap collectives in a branch
+    # (unsupported under shard_map); the plain lockstep loop is exact
+    widths = (
+        []
+        if _SHARD_CTX is not None
+        else [w for w in (B // 2, B // 4, B // 16) if w >= 256]
+    )
     for i, width in enumerate(widths):
         unfin = (k % sa_intv) != 0
         n_unfin = unfin.sum()
@@ -404,7 +462,9 @@ def sa_lookup_body(
         steps = steps.at[:width].set(s_sub)
     # safety net: finish any stragglers at full width
     k, steps = run_while(k, steps)
-    out = sa[(k // sa_intv).astype(jnp.int32)] + steps.astype(k.dtype)
+    out = _fetch_sa(sa, (k // sa_intv).astype(jnp.int32)) + steps.astype(
+        k.dtype
+    )
     # un-permute to input order: inverse-permutation gather, not a scatter
     return out[jnp.argsort(orig, stable=True)]
 
