@@ -153,6 +153,21 @@ def main():
                 ),
             })
     model["projected_compute_bound"] = proj
+    model["projection_assumptions"] = (
+        "Assumes (1) v_eff stays flat from the CPU proxy to real chips "
+        "at the single-device point used for `ideal`, (2) F(n) — the "
+        "per-wave dispatch cost — does not shrink with n, (3) waves are "
+        "compute-bound (no collective term: the wave path is verified "
+        "collective-free in HLO). These are projections from a 2-core "
+        "proxy, NOT measurements; REAL_CHIP_DISPATCH (benchmarks/"
+        "real_chip_dispatch.py) anchors F with one hardware point."
+    )
+    real_f = os.environ.get("REAL_F_JSON")
+    if real_f and os.path.exists(real_f):
+        import json as _json
+
+        with open(real_f) as fh:
+            model["real_chip_anchor"] = _json.load(fh)
     results["dispatch_cost_model"] = model
     # the proxy's hard ceiling: n virtual devices share n_cores real cores,
     # so compute-bound efficiency cannot exceed n_cores/n; report how close
