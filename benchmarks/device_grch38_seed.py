@@ -130,7 +130,7 @@ def main():
         span=dfm.span, min_seed_len=opt.min_seed_len,
         split_len=opt.split_len, split_width=opt.split_width,
         max_mem_intv=int(opt.max_mem_intv), max_occ=opt.max_occ,
-        M=M_SLOTS, R_cap=B * 16, F_cap=B * 24,
+        M=M_SLOTS, R_cap=B * 64, F_cap=B * 24,
     )
 
     with dfm.ctx():
@@ -168,11 +168,16 @@ def main():
         dev_batch_s = (b3 - b1) / 2
 
     # ---- decode + record-equality vs the host oracle --------------------
-    R_cap = B * 16
+    R_cap = B * 64
     meta = extra[R_cap + 2 :]
     n_m = (meta & 0xFFFF).astype(np.int64)
     ovf = (meta >> 16) != 0
     rbegs_flat = extra[:R_cap]
+    total_rbegs = int(extra[R_cap])
+    assert total_rbegs <= R_cap, (
+        f"global walk budget exhausted ({total_rbegs} > {R_cap}): raise "
+        "r_per_read — the engine path would demote to host SA walks here"
+    )
     starts = np.zeros(B + 1, np.int64)
     np.cumsum(n_m, out=starts[1:])
     cnt = np.minimum(flat[:, 2], opt.max_occ)
