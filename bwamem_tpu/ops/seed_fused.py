@@ -94,24 +94,76 @@ def seed_sa_core(
         )
 
     # ---- round 1: all SMEMs, cursor waves over start positions ----------
-    def r1_cond(st):
-        return (st[0] < qlen).any()
+    # Lane-compaction ladder: cursor waves per read are heavy-tailed
+    # (mean ~2, max ~8 on 150bp reads), and every lockstep wave pays the
+    # full batch width for the stragglers.  Each stage runs while more
+    # than `floor` lanes still have cursor work, then the live lanes
+    # (with their accumulators and read rows) compact into a 4x narrower
+    # stage; results scatter back by original lane.  Same per-lane wave
+    # sequence — bit-identical output.
+    def r1_stage(tb, st, floor):
+        qseq_s, qlen_s = tb["qseq"], tb["qlen"]
+        ones_s = jnp.ones(qlen_s.shape[0], jnp.int32)
 
-    def r1_body(st):
-        x, accs, n, ovf = st
-        active = x < qlen
-        ret, wx0, wx1, ws, wqb, wqe, wcnt, wovf = smem(x, ones)
-        ovf = ovf | (active & wovf)
-        accs, n, ovf = _append_wave(
-            accs, n, ovf, (wx0, wx1, ws, wqb, wqe), wcnt, active,
-            min_seed_len, M,
+        def cond(st2):
+            return (st2[0] < qlen_s).sum() > floor
+
+        def body(st2):
+            x, accs2, n2, ovf2 = st2
+            active = x < qlen_s
+            ret, wx0, wx1, ws, wqb, wqe, wcnt, wovf = smem_t(
+                qseq_s, qlen_s, x, ones_s
+            )
+            ovf2 = ovf2 | (active & wovf)
+            accs2, n2, ovf2 = _append_wave(
+                accs2, n2, ovf2, (wx0, wx1, ws, wqb, wqe), wcnt, active,
+                min_seed_len, M,
+            )
+            return jnp.where(active, ret, x), accs2, n2, ovf2
+
+        return jax.lax.while_loop(cond, body, st)
+
+    def smem_t(qs, ql, x, mi):
+        ret, wx0, wx1, ws, wqb, wqe, wcnt, wovf = smem1a_body(
+            lines, L2, qs, ql, x, mi, primary, seq_len, span
         )
-        return jnp.where(active, ret, x), accs, n, ovf
+        return ret, wx0, wx1, ws, wqb, wqe, wcnt, wovf
 
     x0c = jnp.zeros(B, jnp.int32)
-    x, accs, n, ovf = jax.lax.while_loop(
-        r1_cond, r1_body, (x0c, accs, n, ovf)
-    )
+    sizes = [B]
+    while sizes[-1] > 256:
+        nxt = max(sizes[-1] // 4, 256)
+        if nxt == sizes[-1]:
+            break
+        sizes.append(nxt)
+    tb = dict(qseq=qseq, qlen=qlen)
+    st = (x0c, accs, n, ovf)
+    abs_idx = jnp.arange(B, dtype=jnp.int32)
+    stage_outs = []
+    for si_, Bn in enumerate(sizes):
+        floor = sizes[si_ + 1] if si_ + 1 < len(sizes) else 0
+        st = r1_stage(tb, st, floor)
+        stage_outs.append((abs_idx, st))
+        if si_ + 1 < len(sizes):
+            x_c, accs_c, n_c, ovf_c = st
+            live = x_c < tb["qlen"]
+            sel = jnp.argsort(jnp.where(live, 0, 1), stable=True)[
+                : sizes[si_ + 1]
+            ]
+            tb = {k: v[sel] for k, v in tb.items()}
+            st = (
+                x_c[sel], tuple(a[sel] for a in accs_c), n_c[sel],
+                ovf_c[sel],
+            )
+            abs_idx = abs_idx[sel]
+    _, (x_f, accs, n, ovf) = stage_outs[0][0], stage_outs[0][1]
+    accs = list(accs)
+    for abs_k, (x_k, accs_k, n_k, ovf_k) in stage_outs[1:]:
+        for i_ in range(len(accs)):
+            accs[i_] = accs[i_].at[abs_k].set(accs_k[i_])
+        n = n.at[abs_k].set(n_k)
+        ovf = ovf.at[abs_k].set(ovf_k)
+    accs = tuple(accs)
 
     # ---- round 2: re-seed long low-occurrence SMEMs from the middle -----
     n1 = n  # snapshot: jobs come from round-1 mems only
