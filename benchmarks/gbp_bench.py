@@ -60,25 +60,36 @@ def main():
     print(f"[{LABEL}] synthesized {REF_LEN/1e9:.2f} Gbp in {t_synth:.0f}s",
           flush=True)
 
-    # genome-scale memory discipline: hand the only copy of the reference to
-    # the builder (consume=True releases it during construction) and
-    # re-synthesize it afterwards for read simulation — same rng, same bytes
-    fasta = Fasta([FastaContig(LABEL + "1", "", codes)])
-    del codes
-    t0 = time.time()
-    idx = build_index(fasta, consume=True, algo=ALGO)
-    t_build = time.time() - t0
-    del fasta
-    print(f"[{LABEL}] index built in {t_build:.0f}s", flush=True)
-
     img = f"/tmp/{LABEL}_ref.img"
-    t0 = time.time()
-    image.write_image(img, idx)
-    del idx
-    index = BwaMemIndex(img)
-    t_image = time.time() - t0
-    print(f"[{LABEL}] image {os.path.getsize(img)/1e9:.2f} GB round-trip "
-          f"in {t_image:.0f}s", flush=True)
+    reuse = os.environ.get("GBP_REUSE_IMG") == "1" and os.path.exists(img)
+    if reuse:
+        # align-phase re-measurement against an image built by a prior
+        # full run (build_s reported as null; the build artifact is the
+        # prior run's JSON)
+        del codes
+        t_build = t_image = None
+        index = BwaMemIndex(img)
+        print(f"[{LABEL}] reusing image {img}", flush=True)
+    else:
+        # genome-scale memory discipline: hand the only copy of the
+        # reference to the builder (consume=True releases it during
+        # construction) and re-synthesize it afterwards for read
+        # simulation — same rng, same bytes
+        fasta = Fasta([FastaContig(LABEL + "1", "", codes)])
+        del codes
+        t0 = time.time()
+        idx = build_index(fasta, consume=True, algo=ALGO)
+        t_build = time.time() - t0
+        del fasta
+        print(f"[{LABEL}] index built in {t_build:.0f}s", flush=True)
+
+        t0 = time.time()
+        image.write_image(img, idx)
+        del idx
+        index = BwaMemIndex(img)
+        t_image = time.time() - t0
+        print(f"[{LABEL}] image {os.path.getsize(img)/1e9:.2f} GB "
+              f"round-trip in {t_image:.0f}s", flush=True)
 
     codes = synthetic_genome(REF_LEN, np.random.default_rng(99))
     aligner = BwaMemAligner(index)
@@ -149,8 +160,9 @@ def main():
         "device_seed_fused_r_overflows": int(
             counters.get("device_seed_fused_r_overflows", 0)
         ),
-        "build_s": round(t_build, 1),
-        "image_roundtrip_s": round(t_image, 1),
+        "build_s": None if t_build is None else round(t_build, 1),
+        "image_reused": bool(reuse),
+        "image_roundtrip_s": None if t_image is None else round(t_image, 1),
         "image_bytes": os.path.getsize(img),
         "peak_rss_gb": round(peak_gb, 1),
     }
