@@ -94,6 +94,11 @@ def ksw_extend_batch(
     eh_h = jnp.where(jj <= qlen[:, None], eh_h, 0)
     eh_e = jnp.zeros((B, Q + 1), dtype=jnp.int32)
 
+    # one-hot column mask at qlen, hoisted: the per-row gscore read is a
+    # masked reduce instead of a per-lane gather (TPU gathers cost a full
+    # row per element; T rows x B lanes of them would dominate the scan)
+    qmask = (jj == qlen[:, None]).astype(jnp.int32)
+
     init = dict(
         eh_h=eh_h.astype(jnp.int32),
         eh_e=eh_e,
@@ -154,11 +159,7 @@ def ksw_extend_batch(
         eh_e2 = jnp.where(jj == end[:, None], 0, eh_e2)
         # gscore (to-query-end), fires only when the window reaches qlen
         reaches = end == qlen
-        h_last = jnp.take_along_axis(
-            jnp.concatenate([jnp.zeros((B, 1), jnp.int32), Hrow], axis=1),
-            qlen[:, None],
-            axis=1,
-        )[:, 0]
+        h_last = (H_shift * qmask).sum(axis=1)
         active = ~state["done"] & (i < tlen)
         upd_g = reaches & (state["gscore"] <= h_last) & active
         gscore = jnp.where(upd_g, h_last, state["gscore"])
