@@ -151,47 +151,77 @@ def smem1a_body(
         ax1 = _select_col(nx1f, csel).reshape(B, K_SLOTS)
         asz = _select_col(nszf, csel).reshape(B, K_SLOTS)
 
-        def slot(j, carry):
-            (cx0, cx1, cs, cinfo, ccnt, last_s, mx0, mx1, ms, mqb, mqe,
-             m_cnt, last_qb, ovf) = carry
-            valid = lane_alive & (j < pcnt)
-            p_x0, p_x1, p_s, p_info = (
-                px0[:, j], px1[:, j], ps[:, j], pinfo[:, j],
+        # ---- vectorized slot update (the old per-slot fori paid ~10
+        # one-hot [B, K] selects per slot per tick; this is a fixed ~40
+        # [B, K] ops + one [B, K, K] compaction).  Semantics are the
+        # sequential scan's, derived as closed forms:
+        #   * at most ONE mem emits per tick (the first emission sets
+        #     last_qb = i+1, which blocks the gate for later slots), and
+        #     it is the first dead slot BEFORE the first surviving slot
+        #     (any dead slot after a kept one sees ccnt > 0);
+        #   * a surviving slot is kept iff its extended size differs from
+        #     the PREVIOUS candidate's (dropping on equality leaves
+        #     last_s at that same size, so comparing against the previous
+        #     candidate is equivalent to comparing against the last kept).
+        jarr = jnp.arange(K_SLOTS)[None, :]
+        validm = lane_alive[:, None] & (jarr < pcnt[:, None])
+        deadm = validm & (
+            (~have_c)[:, None] | (asz < min_intv[:, None])
+        )
+        candm = validm & ~deadm
+        NOJ = jnp.int32(K_SLOTS)
+        first_dead = jnp.min(jnp.where(deadm, jarr, NOJ), axis=1)
+        first_cand = jnp.min(jnp.where(candm, jarr, NOJ), axis=1)
+        gate = (m_cnt == 0) | (i + 1 < last_qb)
+        emit = gate & (first_dead < first_cand) & (first_dead < NOJ)
+        sel_e = jarr == first_dead[:, None]
+        pick = lambda r: jnp.where(sel_e, r, 0).sum(axis=1, dtype=r.dtype)
+        midx = jnp.clip(m_cnt, 0, K_SLOTS - 1)
+        selm = (jarr == midx[:, None]) & emit[:, None]
+        putm = lambda r, v: jnp.where(selm, v.astype(r.dtype)[:, None], r)
+        mx0, mx1, ms = (
+            putm(mx0, pick(px0)), putm(mx1, pick(px1)), putm(ms, pick(ps)),
+        )
+        mqb = putm(mqb, jnp.broadcast_to(i + 1, emit.shape))
+        mqe = putm(mqe, pick(pinfo))
+        ovf = ovf | (emit & (m_cnt >= K_SLOTS))
+        last_qb = jnp.where(emit, i + 1, last_qb)
+        m_cnt = m_cnt + emit.astype(jnp.int32)
+        # keep = dedup vs previous candidate: log-K "last candidate size"
+        # doubling scan, then compare
+        have = candm
+        val = jnp.where(candm, asz, 0)
+        sh = 1
+        while sh < K_SLOTS:
+            val_s = jnp.concatenate(
+                [jnp.zeros((B, sh), val.dtype), val[:, :-sh]], axis=1
             )
-            ex0, ex1, es = ax0[:, j], ax1[:, j], asz[:, j]
-            dead = valid & (~have_c | (es < min_intv))
-            emit = dead & (ccnt == 0) & ((m_cnt == 0) | (i + 1 < last_qb))
-            karr = jnp.arange(K_SLOTS)[None, :]
-            midx = jnp.clip(m_cnt, 0, K_SLOTS - 1)
-            selm = (karr == midx[:, None]) & emit[:, None]
-            putm = lambda r, v: jnp.where(selm, v.astype(r.dtype)[:, None], r)
-            mx0, mx1, ms = putm(mx0, p_x0), putm(mx1, p_x1), putm(ms, p_s)
-            mqb = putm(mqb, jnp.broadcast_to(i + 1, emit.shape))
-            mqe = putm(mqe, p_info)
-            ovf = ovf | (emit & (m_cnt >= K_SLOTS))
-            last_qb = jnp.where(emit, i + 1, last_qb)
-            m_cnt = m_cnt + emit.astype(jnp.int32)
-            keep = valid & ~dead & ((ccnt == 0) | (es != last_s))
-            cidx = jnp.clip(ccnt, 0, K_SLOTS - 1)
-            selc = (karr == cidx[:, None]) & keep[:, None]
-            putc = lambda r, v: jnp.where(selc, v.astype(r.dtype)[:, None], r)
-            cx0, cx1, cs = putc(cx0, ex0), putc(cx1, ex1), putc(cs, es)
-            cinfo = putc(cinfo, p_info)
-            last_s = jnp.where(keep, es, last_s)
-            ccnt = ccnt + keep.astype(jnp.int32)
-            return (cx0, cx1, cs, cinfo, ccnt, last_s, mx0, mx1, ms, mqb,
-                    mqe, m_cnt, last_qb, ovf)
+            have_s = jnp.concatenate(
+                [jnp.zeros((B, sh), bool), have[:, :-sh]], axis=1
+            )
+            val = jnp.where(have, val, val_s)
+            have = have | have_s
+            sh <<= 1
+        prev_val = jnp.concatenate(
+            [jnp.zeros((B, 1), val.dtype), val[:, :-1]], axis=1
+        )
+        prev_have = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), have[:, :-1]], axis=1
+        )
+        keep = candm & (~prev_have | (asz != prev_val))
+        dest = jnp.cumsum(keep.astype(jnp.int32), axis=1) - keep
+        eq = (
+            dest[:, :, None] == jnp.arange(K_SLOTS)[None, None, :]
+        ) & keep[:, :, None]
 
-        carry0 = (zKc, zKc, zK, zK, z, z, mx0, mx1, ms, mqb, mqe, m_cnt,
-                  last_qb, ovf)
-        # slots beyond every lane's pcnt are no-ops: bound the scan by the
-        # batch's live maximum (typically ~8 of K_SLOTS=24).  Clamp to
-        # K_SLOTS: an overflowed lane keeps incrementing pcnt past the
-        # slot capacity (it is ovf-flagged and host-resolved), and an
-        # unclamped bound would re-scan the clamped last slot ~L times.
-        (cx0, cx1, cs, cinfo, ccnt, _ls, mx0, mx1, ms, mqb, mqe, m_cnt,
-         last_qb, ovf) = jax.lax.fori_loop(
-            0, jnp.minimum(jnp.max(pcnt), K_SLOTS), slot, carry0)
+        def compact(v):
+            return (v[:, :, None] * eq.astype(v.dtype)).sum(
+                axis=1, dtype=v.dtype
+            )
+
+        cx0, cx1 = compact(ax0), compact(ax1)
+        cs, cinfo = compact(asz), compact(pinfo)
+        ccnt = keep.sum(axis=1).astype(jnp.int32)
         lane_alive = lane_alive & (ccnt > 0) & (i > -1)
         return (t + 1, lane_alive, cx0, cx1, cs, cinfo, ccnt, mx0, mx1, ms,
                 mqb, mqe, m_cnt, last_qb, ovf)
