@@ -141,15 +141,45 @@ def smem1a_body(
         have_c = lane_alive & (i >= 0) & (cc <= 3)
         c_idx = jnp.clip(cc, 0, 3)
 
-        # ONE flattened extend for every (lane, slot): dead/garbage slots
-        # hold zeros or stale-valid intervals, both safe to query
-        nx0f, nx1f, nszf = ext(
-            px0.reshape(-1), px1.reshape(-1), ps.reshape(-1), is_back=True
-        )
-        csel = jnp.repeat(c_idx, K_SLOTS)
-        ax0 = _select_col(nx0f, csel).reshape(B, K_SLOTS)
-        ax1 = _select_col(nx1f, csel).reshape(B, K_SLOTS)
-        asz = _select_col(nszf, csel).reshape(B, K_SLOTS)
+        # Flattened extend for (lane, slot) pairs.  The row-gathers here
+        # are the backward pass's wall (B*K rows per tick), and the live
+        # stack depth is almost always small — so extend the first W1
+        # slots unconditionally and the 16-slot tail only when some lane
+        # actually holds that many intervals (rare; dead/garbage slots
+        # hold zeros or stale-valid intervals, both safe to query).
+        def ext_slots(sl0: int, sl1: int):
+            n = sl1 - sl0
+            nx0f, nx1f, nszf = ext(
+                px0[:, sl0:sl1].reshape(-1), px1[:, sl0:sl1].reshape(-1),
+                ps[:, sl0:sl1].reshape(-1), is_back=True,
+            )
+            cselw = jnp.repeat(c_idx, n)
+            return (
+                _select_col(nx0f, cselw).reshape(B, n),
+                _select_col(nx1f, cselw).reshape(B, n),
+                _select_col(nszf, cselw).reshape(B, n),
+            )
+
+        from . import fmindex_tpu as _fmt
+
+        W1 = 8
+        if K_SLOTS <= W1 or _fmt._SHARD_CTX is not None:
+            # sharded-tables mode: the psum row fetch cannot live inside
+            # a lax.cond branch under shard_map — extend the full width
+            ax0, ax1, asz = ext_slots(0, K_SLOTS)
+        else:
+            a0a, a1a, asa = ext_slots(0, W1)
+            ztail_c = jnp.zeros((B, K_SLOTS - W1), px0.dtype)
+            ztail_i = jnp.zeros((B, K_SLOTS - W1), jnp.int32)
+            a0b, a1b, asb = jax.lax.cond(
+                (pcnt > W1).any(),
+                lambda _: ext_slots(W1, K_SLOTS),
+                lambda _: (ztail_c, ztail_c, ztail_i),
+                None,
+            )
+            ax0 = jnp.concatenate([a0a, a0b], axis=1)
+            ax1 = jnp.concatenate([a1a, a1b], axis=1)
+            asz = jnp.concatenate([asa, asb], axis=1)
 
         # ---- vectorized slot update (the old per-slot fori paid ~10
         # one-hot [B, K] selects per slot per tick; this is a fixed ~40
